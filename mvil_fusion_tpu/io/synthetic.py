@@ -158,7 +158,8 @@ class SyntheticWorld:
         # landmarks in a shell around the trajectory volume
         pts = rng.uniform(-1, 1, size=(self.n_landmarks, 3))
         pts /= np.maximum(np.linalg.norm(pts, axis=-1, keepdims=True), 1e-9)
-        r = rng.uniform(4.0, self.landmark_radius, size=(self.n_landmarks, 1))
+        r = rng.uniform(0.35 * self.landmark_radius, self.landmark_radius,
+                        size=(self.n_landmarks, 1))
         self.landmarks = pts * r + self.traj.p.mean(axis=0)
 
     def project(self, t, ric, tic, fx=460.0, fy=460.0, cx=320.0, cy=240.0,

@@ -29,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from mvil_fusion_tpu.utils import lie
+from mvil_fusion_tpu.utils.precision import full_precision
 
 STATE_DIM = 15
 NOISE_DIM = 18
@@ -113,6 +114,7 @@ def _step_jacobians(dp, dq, dv, ba, bg, acc0, gyr0, acc1, gyr1, dt):
     return F, V
 
 
+@full_precision
 def preintegrate(acc: jnp.ndarray, gyr: jnp.ndarray, dt: jnp.ndarray,
                  ba: jnp.ndarray, bg: jnp.ndarray,
                  noise_cov: jnp.ndarray,
