@@ -1,0 +1,227 @@
+"""KLT feature-tracking front end.
+
+Re-architecture of the reference's feature_tracker_ node
+(reference: feature_tracker_/src/feature_tracker.cpp readImage :81-167,
+rejectWithF :169-202, setMask/addPoints :36-79, undistortedPoints :258-306;
+node logic feature_tracker_node.cpp:38-250).
+
+Design: one fixed-capacity slot table (N = max_features_pad) for tracked
+features; the whole per-image update (CLAHE → pyramid → LK → RANSAC cull →
+corner refill → undistort + velocity) runs as a single jitted device program
+with static shapes.  The host only manages ids, frequency gating and stream
+restart.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.frontend import camera as cam
+from mvil_fusion_tpu.ops import corners, image as im, klt, ransac
+
+
+class FeatureFrame(NamedTuple):
+    """Packed feature message — the engine's equivalent of the reference's
+    PointCloud msg with [id, u, v, vx, vy, depth] channels
+    (feature_tracker_node.cpp:185-244)."""
+
+    t: float
+    ids: np.ndarray        # (N,) int64, -1 for empty slots
+    norm: np.ndarray       # (N,2) normalized undistorted coords
+    vel: np.ndarray        # (N,2) normalized-plane velocity
+    uv: np.ndarray         # (N,2) raw pixel coords
+    depth: np.ndarray      # (N,) lidar depth (-1 unknown)
+    valid: np.ndarray      # (N,) bool
+    track_cnt: np.ndarray  # (N,)
+
+
+class _StepOut(NamedTuple):
+    pts: jnp.ndarray
+    valid: jnp.ndarray
+    track_cnt: jnp.ndarray
+    new_mask: jnp.ndarray    # slots newly filled this frame
+    norm: jnp.ndarray
+    pyr_flat: tuple
+
+
+@partial(jax.jit, static_argnames=("cfg_key",))
+def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, key,
+                 do_track, cfg_key):
+    """Whole per-image device program. cfg_key: static (camera+tracker cfg)."""
+    cfg, camera = _CFG_CACHE[cfg_key]
+    tk = cfg.tracker
+
+    img = jnp.asarray(img, jnp.float32)
+    if tk.equalize:
+        img = im.clahe(img)
+    pyr = tuple(im.build_pyramid(img, tk.pyramid_levels))
+
+    # --- LK track from previous frame -----------------------------------
+    def tracked():
+        res = klt.track(prev_pyr, pyr, pts, valid, win=tk.window_size,
+                        iters=tk.max_iters, min_eig_thr=tk.min_eig_threshold)
+        return res.pts, res.ok
+
+    def untracked():
+        return pts, jnp.zeros_like(valid)
+
+    pts1, ok = jax.lax.cond(do_track, tracked, untracked)
+    track_cnt1 = jnp.where(ok, track_cnt + 1, 0)
+
+    # --- fundamental RANSAC cull (on virtual-focal plane) ---------------
+    norm0 = prev_norm
+    norm1 = camera.lift_projective(pts1)
+    vf = 460.0
+    x1 = norm0 * vf
+    x2 = norm1 * vf
+    enough = jnp.sum(ok) >= 12
+
+    def with_ransac():
+        res = ransac.fundamental_ransac(key, x1, x2, ok,
+                                        threshold=tk.f_threshold,
+                                        n_hyp=tk.ransac_iters)
+        return ok & res.inliers
+
+    ok2 = jax.lax.cond(enough & do_track, with_ransac, lambda: ok)
+
+    # --- refill with new corners ---------------------------------------
+    n_missing = tk.max_cnt - jnp.sum(ok2)
+    det = corners.detect(img, pts1, ok2, max_new=tk.max_cnt,
+                         min_dist=tk.min_dist)
+    want_new = det.ok & (jnp.arange(det.pts.shape[0]) < n_missing)
+    # assign new corners to empty slots: rank empty slots and new corners
+    N = pts.shape[0]
+    slot_rank = jnp.cumsum(~ok2) - 1          # index among empty slots
+    corner_rank = jnp.cumsum(want_new) - 1    # index among accepted corners
+    # scatter: corner j -> the (corner_rank[j])-th empty slot
+    empty_slots = jnp.nonzero(~ok2, size=N, fill_value=N)[0]
+    target = jnp.where(want_new, empty_slots[jnp.minimum(corner_rank,
+                                                         N - 1)],
+                       N)  # index N = dropped (out-of-bounds, mode='drop')
+    pts2 = pts1.at[target].set(det.pts, mode="drop")
+    new_mask = jnp.zeros((N,), bool).at[target].set(True, mode="drop")
+    valid2 = ok2 | new_mask
+    track_cnt2 = jnp.where(new_mask, 1, track_cnt1)
+
+    norm2 = camera.lift_projective(pts2)
+    return _StepOut(pts=pts2, valid=valid2, track_cnt=track_cnt2,
+                    new_mask=new_mask, norm=norm2, pyr_flat=pyr)
+
+
+_CFG_CACHE: dict = {}
+
+
+class FeatureTracker:
+    def __init__(self, config: SystemConfig):
+        self.cfg = config
+        self.camera = cam.from_config(config.camera)
+        self._cfg_key = id(config)
+        _CFG_CACHE[self._cfg_key] = (config, self.camera)
+        N = config.tracker.max_features_pad
+        self.N = N
+        self.pts = jnp.zeros((N, 2), jnp.float32)
+        self.valid = jnp.zeros((N,), bool)
+        self.track_cnt = jnp.zeros((N,), jnp.int32)
+        self.norm = jnp.zeros((N, 2), jnp.float32)
+        self.ids = np.full(N, -1, np.int64)
+        self.prev_pyr = None
+        self.prev_t = None
+        self.prev_norm_np = np.zeros((N, 2), np.float32)
+        self.next_id = 0
+        self._key = jax.random.PRNGKey(config.tracker.ransac_iters)
+        # frequency control (feature_tracker_node.cpp:61-72)
+        self.first_image_time = None
+        self.pub_count = 0
+
+    def reset(self):
+        """Stream-gap restart (feature_tracker_node.cpp:48-58)."""
+        self.valid = jnp.zeros((self.N,), bool)
+        self.track_cnt = jnp.zeros((self.N,), jnp.int32)
+        self.ids[:] = -1
+        self.prev_pyr = None
+        self.prev_t = None
+        self.first_image_time = None
+        self.pub_count = 0
+
+    def _should_publish(self, t: float) -> bool:
+        freq = self.cfg.tracker.freq
+        if freq <= 0:
+            return True
+        if self.first_image_time is None:
+            self.first_image_time = t
+            return True
+        elapsed = t - self.first_image_time
+        if elapsed <= 0:
+            return True
+        if self.pub_count / elapsed <= freq:
+            # reset window when the realized rate drifts (reference :66-71)
+            if abs(self.pub_count / elapsed - freq) < 0.01 * freq:
+                self.first_image_time = t
+                self.pub_count = 0
+            return True
+        return False
+
+    def process(self, t: float, img: np.ndarray) -> FeatureFrame | None:
+        """Track one image; returns a FeatureFrame when freq-gated to
+        publish, else None (tracking state still updates)."""
+        # stream discontinuity -> restart (reference: >1s gap)
+        if self.prev_t is not None and (t - self.prev_t > 1.0
+                                        or t < self.prev_t):
+            self.reset()
+
+        do_track = self.prev_pyr is not None
+        if not do_track:
+            # bootstrap: build pyramid via the same jit with do_track=False
+            prev_pyr = tuple(
+                jnp.zeros((self.cfg.camera.height // (2 ** l),
+                           self.cfg.camera.width // (2 ** l)), jnp.float32)
+                for l in range(self.cfg.tracker.pyramid_levels + 1))
+        else:
+            prev_pyr = self.prev_pyr
+
+        self._key, sub = jax.random.split(self._key)
+        out = _process_jit(img, prev_pyr, self.pts, self.valid,
+                           self.track_cnt, self.norm, sub,
+                           jnp.asarray(do_track), self._cfg_key)
+
+        new_mask = np.asarray(out.new_mask)
+        valid = np.asarray(out.valid)
+        # id management on host
+        survived = valid & ~new_mask
+        self.ids[~valid] = -1
+        n_new = int(new_mask.sum())
+        if n_new:
+            self.ids[new_mask] = np.arange(self.next_id,
+                                           self.next_id + n_new)
+            self.next_id += n_new
+
+        norm_np = np.asarray(out.norm)
+        dt = (t - self.prev_t) if self.prev_t is not None else 0.0
+        vel = np.zeros((self.N, 2), np.float32)
+        if dt > 0:
+            vel[survived] = ((norm_np[survived]
+                              - self.prev_norm_np[survived]) / dt)
+
+        self.pts = out.pts
+        self.valid = out.valid
+        self.track_cnt = out.track_cnt
+        self.norm = out.norm
+        self.prev_pyr = out.pyr_flat
+        self.prev_t = t
+        self.prev_norm_np = norm_np
+
+        if not self._should_publish(t):
+            return None
+        self.pub_count += 1
+        return FeatureFrame(
+            t=t, ids=self.ids.copy(), norm=norm_np,
+            vel=vel, uv=np.asarray(out.pts),
+            depth=np.full(self.N, -1.0, np.float32),
+            valid=valid, track_cnt=np.asarray(out.track_cnt))
