@@ -1,0 +1,646 @@
+"""Sliding-window VIO estimator: the system kernel.
+
+Host-side orchestration of the jitted device kernels, replacing the
+reference's Estimator state machine (reference: vils_estimator/src/
+estimator.cpp processIMU :86-120, processImage :506-616, slideWindow
+:1689-1814; feature_manager.cpp addFeatureCheckParallax :45-105,
+removeBackShiftDepth :283-345) and the measurement-pairing thread of
+estimator_node.cpp:379-535.
+
+The host owns only bookkeeping (ids, window indices, raw IMU buffers); all
+numerics — preintegration, triangulation, BA, marginalization,
+initialization solves — run as fixed-shape jitted programs.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.estimator import ba, factors as fac, initialization as vinit
+from mvil_fusion_tpu.estimator import lidar_factors as lfac
+from mvil_fusion_tpu.estimator import state as st
+from mvil_fusion_tpu.ops import preintegration as pre, triangulate as tri
+from mvil_fusion_tpu.utils import lie
+
+IMU_NMAX = 256          # per-interval raw-sample capacity (merge-safe)
+
+# jitted entry points (the orchestration below calls these every frame; an
+# unjitted call would re-trace op-by-op and cost seconds per frame)
+_solve_jit = jax.jit(ba.solve, static_argnames=("focal", "iters"))
+_marg_old_jit = jax.jit(ba.marginalize_old, static_argnames=("focal",))
+_marg_new_jit = jax.jit(ba.marginalize_second_new)
+_preint_batch_jit = jax.jit(pre.preintegrate_batch)
+_triangulate_jit = jax.jit(tri.triangulate_window)
+
+
+@jax.jit
+def _extras_jit(s, icp_tab, lps_tab, zero_vel):
+    """Stack all LiDAR/LPS/zero-velocity rows for BAProblem.extra."""
+    J1, r1 = lfac.icp_system(s, icp_tab)
+    J2, r2 = lfac.lps_system(s, lps_tab)
+    J3, r3 = lfac.zero_velocity_system(s, zero_vel)
+    return (jnp.concatenate([J1, J2, J3], axis=0),
+            jnp.concatenate([r1, r2, r3], axis=0))
+
+
+@dataclass
+class Obs:
+    norm: np.ndarray        # (2,)
+    vel: np.ndarray         # (2,)
+    td_ref: float
+    depth: float            # lidar depth, -1 unknown
+
+
+@dataclass
+class Track:
+    id: int
+    obs: dict               # window index -> Obs
+    inv_depth: float = -1.0  # <0: not yet estimated
+    depth_fixed: bool = False
+    slot: int = -1
+
+    @property
+    def start(self) -> int:
+        return min(self.obs)
+
+
+@dataclass
+class ImuInterval:
+    acc: list = field(default_factory=list)
+    gyr: list = field(default_factory=list)
+    t: list = field(default_factory=list)
+
+
+class VIOEstimator:
+    INITIAL = 0
+    NON_LINEAR = 1
+
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        e = cfg.estimator
+        self.W = e.window_size + 1
+        self.F = e.max_features
+        self.status = self.INITIAL
+        self.frame_count = 0        # index of the next/current frame slot
+        self.times: list[float] = []
+        self.tracks: dict[int, Track] = {}
+        self.slots: list[Optional[int]] = [None] * self.F  # slot -> id
+        self.intervals: list[ImuInterval] = []  # len == len(times)-1 .. times
+        self._pending = ImuInterval()
+        self.last_imu: Optional[tuple] = None
+        self.marg_old = True
+
+        W, F = self.W, self.F
+        self.state = st.make_window_state(W, F)
+        ric = np.asarray(e.ric, np.float32).reshape(3, 3)
+        self.state = self.state._replace(
+            qic=jnp.asarray(lie.mat_to_quat(jnp.asarray(ric))),
+            tic=jnp.asarray(e.tic, jnp.float32),
+            td=jnp.asarray(e.td_init, jnp.float32))
+        self.prior = fac.empty_prior(W, F)
+        self.gravity = jnp.asarray([0.0, 0.0, cfg.imu.g_norm], jnp.float32)
+        self.noise_cov = pre.noise_covariance(
+            cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w)
+        self._key = jax.random.PRNGKey(7)
+        self.failures = 0
+        self.solve_info: dict = {}
+        # trajectory log (world frame) — the engine's Frontend.txt
+        self.trajectory: list[tuple] = []
+        # LiDAR coupling (created lazily to keep mono-VIO light)
+        self.lidar = None
+        self.lps_list: list[tuple] = []   # (t, p_w, q_w) localizer feedback
+
+    # ------------------------------------------------------------- LiDAR
+
+    def enable_lidar(self):
+        from mvil_fusion_tpu.estimator.lidar_frontend import LidarFrontend
+        if self.lidar is None:
+            self.lidar = LidarFrontend(self.cfg)
+
+    def process_lidar(self, t_start: float, pts: np.ndarray,
+                      rel_time: np.ndarray, mask: np.ndarray):
+        """One compensated LiDAR sweep (reference process_lidar thread,
+        estimator_node.cpp:338-376 → Estimator::processLidar).
+
+        Returns the deskewed cloud + interpolated lidar pose for the mapping
+        back end and the depth-register feedback, or None."""
+        if self.status != self.NON_LINEAR or self.lidar is None:
+            return None
+        n_t = min(len(self.times), self.W)
+        return self.lidar.process_sweep(t_start, pts, rel_time, mask,
+                                        self.times[:n_t], self.state)
+
+    def process_lps(self, t: float, p_w: np.ndarray, q_w: np.ndarray):
+        """Global-mapping localizer feedback ('LPS', reference
+        estimator_node.cpp:442-460).  Pose given in the lidar frame is
+        transformed by the LiDAR-IMU extrinsic."""
+        if self.lidar is None:
+            return
+        rlb, tlb = self.lidar.rlb, self.lidar.tlb
+        R = np.asarray(lie.quat_to_mat(jnp.asarray(q_w, jnp.float32)))
+        p_b = R @ tlb + np.asarray(p_w)
+        q_b = np.asarray(lie.mat_to_quat(jnp.asarray(
+            R @ rlb, jnp.float32)))
+        self.lps_list.append((t, p_b.astype(np.float32), q_b))
+        while len(self.lps_list) > lfac.MAX_LPS:
+            self.lps_list.pop(0)
+
+    def _build_lps_table(self) -> lfac.LpsConstraints:
+        tab = lfac.empty_lps()
+        ids = np.zeros((lfac.MAX_LPS, 2), np.int32)
+        alpha = np.zeros(lfac.MAX_LPS, np.float32)
+        qm = np.tile(np.asarray([1, 0, 0, 0], np.float32),
+                     (lfac.MAX_LPS, 1))
+        act = np.zeros(lfac.MAX_LPS, bool)
+        times = self.times[:self.W]
+        for k, (t, p_b, q_b) in enumerate(self.lps_list[-lfac.MAX_LPS:]):
+            for i in range(len(times) - 1):
+                if times[i] <= t <= times[i + 1]:
+                    if times[i + 1] - times[i] < 0.2:
+                        ids[k] = (i, i + 1)
+                        alpha[k] = (t - times[i]) / max(
+                            times[i + 1] - times[i], 1e-6)
+                        qm[k] = q_b
+                        act[k] = True
+                    break
+        return tab._replace(ids=jnp.asarray(ids), alpha=jnp.asarray(alpha),
+                            q_meas=jnp.asarray(qm), active=jnp.asarray(act))
+
+    # ------------------------------------------------------------------ IMU
+
+    def process_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
+        self._pending.acc.append(np.asarray(acc, np.float32))
+        self._pending.gyr.append(np.asarray(gyr, np.float32))
+        self._pending.t.append(t)
+        self.last_imu = (t, acc, gyr)
+
+    # ------------------------------------------------------- feature frames
+
+    def process_features(self, t: float, ids: np.ndarray, norm: np.ndarray,
+                         vel: np.ndarray, depth: np.ndarray | None = None):
+        """One feature frame (the estimator-side of the 'feature' topic)."""
+        k = self.frame_count
+        if depth is None:
+            depth = np.full(len(ids), -1.0, np.float32)
+        # 1. record observations at window position k
+        for i, fid in enumerate(ids):
+            fid = int(fid)
+            if fid < 0:
+                continue
+            tr = self.tracks.get(fid)
+            if tr is None:
+                tr = Track(id=fid, obs={})
+                self.tracks[fid] = tr
+            tr.obs[k] = Obs(norm=norm[i].astype(np.float32),
+                            vel=vel[i].astype(np.float32),
+                            td_ref=float(np.asarray(self.state.td)),
+                            depth=float(depth[i]))
+            if depth[i] > 0 and not tr.depth_fixed:
+                # adopt lidar depth at the start observation
+                if tr.start == k:
+                    tr.inv_depth = 1.0 / float(depth[i])
+                    tr.depth_fixed = True
+
+        self.times.append(t)
+        if len(self.times) == 1:
+            # first frame: drop IMU buffered before the window starts,
+            # keeping the newest pre-frame sample as the boundary seed
+            iv = self._pending
+            keep = [i for i, tt in enumerate(iv.t) if tt >= t]
+            first = keep[0] if keep else len(iv.t)
+            lo = max(first - 1, 0)
+            self._pending = ImuInterval(acc=iv.acc[lo:], gyr=iv.gyr[lo:],
+                                        t=iv.t[lo:])
+        if len(self.times) >= 2:
+            self.intervals.append(self._close_interval())
+
+        # 2. keyframe decision
+        self.marg_old = self._check_parallax(k)
+
+        if k < self.W - 1:
+            self.frame_count += 1
+            return
+
+        # window is full (frames 0..W-1 present)
+        if self.status == self.INITIAL:
+            if self._try_initialize():
+                self.status = self.NON_LINEAR
+                self._solve_and_slide()
+            else:
+                self._slide(old=self.marg_old)
+        else:
+            self._solve_and_slide()
+
+    def _close_interval(self) -> ImuInterval:
+        iv = self._pending
+        self._pending = ImuInterval()
+        # seed the next interval with the boundary sample for midpoint
+        # continuity (the reference interpolates at boundaries,
+        # estimator_node.cpp getMeasurements :145-223)
+        if iv.acc:
+            self._pending.acc.append(iv.acc[-1])
+            self._pending.gyr.append(iv.gyr[-1])
+            self._pending.t.append(iv.t[-1])
+        return iv
+
+    def _check_parallax(self, k: int) -> bool:
+        """True → marginalize old (current frame 2nd-newest is a keyframe).
+        Mirrors addFeatureCheckParallax (feature_manager.cpp:45-105)."""
+        if k < 2:
+            return True
+        long_tracks = sum(1 for tr in self.tracks.values()
+                          if k - 1 in tr.obs and tr.start <= k - 2)
+        if long_tracks < 20:
+            return True
+        par = []
+        for tr in self.tracks.values():
+            if k - 1 in tr.obs and k - 2 in tr.obs:
+                par.append(np.linalg.norm(tr.obs[k - 1].norm
+                                          - tr.obs[k - 2].norm))
+        if not par:
+            return True
+        min_par = self.cfg.estimator.min_parallax / self.cfg.estimator.focal_length
+        return float(np.mean(par)) >= min_par
+
+    # ------------------------------------------------------- device tables
+
+    def _preintegrate_all(self):
+        W = self.W
+        accs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
+        gyrs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
+        dts = np.zeros((W - 1, IMU_NMAX), np.float32)
+        masks = np.zeros((W - 1, IMU_NMAX), bool)
+        for kk in range(min(W - 1, len(self.intervals))):
+            iv = self.intervals[kk]
+            n = min(len(iv.acc), IMU_NMAX)
+            if n < 2:
+                continue
+            accs[kk, :n] = np.asarray(iv.acc[:n])
+            gyrs[kk, :n] = np.asarray(iv.gyr[:n])
+            tarr = np.asarray(iv.t[:n])
+            dts[kk, :n - 1] = np.diff(tarr)
+            masks[kk, :n] = True
+        imask = masks.any(axis=1)
+        preints = _preint_batch_jit(
+            jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+            self.state.ba[:-1], self.state.bg[:-1],
+            self.noise_cov, jnp.asarray(masks))
+        return preints, jnp.asarray(imask)
+
+    def _assign_slots(self):
+        """Stable slot assignment for features usable in BA."""
+        active = {fid for fid, tr in self.tracks.items()
+                  if len(tr.obs) >= 2}
+        # free slots of dead features
+        for s, fid in enumerate(self.slots):
+            if fid is not None and fid not in active:
+                self.slots[s] = None
+                if fid in self.tracks:
+                    self.tracks[fid].slot = -1
+        free = [s for s, fid in enumerate(self.slots) if fid is None]
+        # prefer long tracks when capacity is tight
+        order = sorted(active, key=lambda f: -len(self.tracks[f].obs))
+        for fid in order:
+            tr = self.tracks[fid]
+            if tr.slot >= 0:
+                continue
+            if not free:
+                break
+            s = free.pop(0)
+            self.slots[s] = fid
+            tr.slot = s
+
+    def _build_features(self) -> st.Features:
+        W, F = self.W, self.F
+        start = np.zeros(F, np.int32)
+        obs = np.zeros((F, W, 2), np.float32)
+        vel = np.zeros((F, W, 2), np.float32)
+        td_ref = np.zeros((F, W), np.float32)
+        mask = np.zeros((F, W), bool)
+        fixed = np.zeros(F, bool)
+        valid = np.zeros(F, bool)
+        inv_depth = np.asarray(self.state.inv_depth).copy()
+        for s, fid in enumerate(self.slots):
+            if fid is None:
+                continue
+            tr = self.tracks[fid]
+            start[s] = tr.start
+            for k, o in tr.obs.items():
+                if 0 <= k < W:
+                    obs[s, k] = o.norm
+                    vel[s, k] = o.vel
+                    td_ref[s, k] = o.td_ref
+                    mask[s, k] = True
+            fixed[s] = tr.depth_fixed
+            valid[s] = mask[s].sum() >= 2
+            if tr.inv_depth > 0:
+                inv_depth[s] = tr.inv_depth
+        self.state = self.state._replace(inv_depth=jnp.asarray(inv_depth))
+        return st.Features(
+            start=jnp.asarray(start), obs=jnp.asarray(obs),
+            vel=jnp.asarray(vel), td_ref=jnp.asarray(td_ref),
+            mask=jnp.asarray(mask), depth_fixed=jnp.asarray(fixed),
+            valid=jnp.asarray(valid))
+
+    def _triangulate_new(self, feats: st.Features):
+        """Estimate depths for features without one (feature_manager
+        triangulate :214-268; lidar-depth features skipped)."""
+        p_wc, q_wc = tri.camera_poses_from_body(
+            self.state.p, self.state.q, self.state.tic, self.state.qic)
+        inv_d, good = _triangulate_jit(p_wc, q_wc, feats.obs,
+                                       feats.mask, feats.start)
+        inv_prev = np.asarray(self.state.inv_depth)
+        need = np.asarray([
+            (self.slots[s] is not None
+             and self.tracks[self.slots[s]].inv_depth <= 0
+             and not self.tracks[self.slots[s]].depth_fixed)
+            for s in range(self.F)])
+        good = np.asarray(good) & need
+        inv_new = np.where(good, np.asarray(inv_d), inv_prev)
+        self.state = self.state._replace(inv_depth=jnp.asarray(inv_new))
+        for s in np.nonzero(good)[0]:
+            self.tracks[self.slots[s]].inv_depth = float(inv_new[s])
+
+    # ------------------------------------------------------- initialization
+
+    def _try_initialize(self) -> bool:
+        W = self.W
+        e = self.cfg.estimator
+        feats = None
+        # observation table over the full window
+        obs = np.zeros((self.F, W, 2), np.float32)
+        mask = np.zeros((self.F, W), bool)
+        self._assign_slots()
+        for s, fid in enumerate(self.slots):
+            if fid is None:
+                continue
+            tr = self.tracks[fid]
+            for k, o in tr.obs.items():
+                if 0 <= k < W:
+                    obs[s, k] = o.norm
+                    mask[s, k] = True
+
+        # find reference frame l with enough parallax vs the newest frame
+        l = None
+        rel = None
+        for cand in range(W - 1):
+            sel = mask[:, cand] & mask[:, W - 1]
+            if sel.sum() < 20:
+                continue
+            par = np.linalg.norm(obs[sel, cand] - obs[sel, W - 1],
+                                 axis=1).mean()
+            if par < 30.0 / 460.0:
+                continue
+            self._key, sub = jax.random.split(self._key)
+            r = vinit.essential_relative_pose(
+                sub, jnp.asarray(obs[:, cand]), jnp.asarray(obs[:, W - 1]),
+                jnp.asarray(sel))
+            if bool(r.ok):
+                l = cand
+                rel = r
+                break
+        if l is None:
+            return False
+
+        sfm = vinit.global_sfm(obs, mask, l, np.asarray(rel.R),
+                               np.asarray(rel.t))
+        if not sfm.ok:
+            return False
+        p_c0_c = jnp.asarray(sfm.p_c0_c)
+        q_c0_c = jnp.asarray(sfm.q_c0_c)
+
+        preints, imask = self._preintegrate_all()
+
+        # stage A: gyro bias (+ optional RIC/td refinement)
+        gyr_first = np.zeros((W - 1, 3), np.float32)
+        gyr_last = np.zeros((W - 1, 3), np.float32)
+        for kk in range(W - 1):
+            iv = self.intervals[kk]
+            if iv.gyr:
+                gyr_first[kk] = iv.gyr[0]
+                gyr_last[kk] = iv.gyr[-1]
+        stage_a = vinit.estimate_ric_td_bg(
+            q_c0_c, preints, jnp.asarray(gyr_first), jnp.asarray(gyr_last),
+            self.state.qic, fix_ric=(e.estimate_extrinsic == 0))
+        if not stage_a.ok:
+            return False
+        q_ric = stage_a.q_ric
+
+        # The (bgs, td) solution is only consistent PER INTERVAL — the
+        # reference repropagates each interval with its own bgs
+        # (init_refine_delta_pvq_bgs) and applies the td rotation correction
+        # to each frame's camera rotation (initial_aligment.cpp:306-325).
+        # Re-preintegrate with per-interval biases:
+        per_frame_bg = jnp.concatenate(
+            [stage_a.bgs, stage_a.bgs[-1:]], axis=0)       # (W,3)
+        self.state = self.state._replace(bg=per_frame_bg, qic=q_ric)
+        preints, imask = self._preintegrate_all()
+
+        # body rotations in c0 with the td correction:
+        # q_c0_bi = q_c0_ci ⊗ q_ric⁻¹ ⊗ [1, ½·w_i·td_i]  (frames 0..W-2;
+        # the last frame is left uncorrected, as in the reference loop)
+        w_td = np.concatenate([gyr_first, np.zeros((1, 3), np.float32)],
+                              axis=0)
+        qr_td = jnp.concatenate(
+            [jnp.ones((W, 1), jnp.float32),
+             0.5 * jnp.asarray(w_td) * stage_a.td[:, None]], axis=1)
+        q_c0_b = jax.vmap(lambda qc, qtd: lie.quat_normalize(lie.quat_mul(
+            lie.quat_mul(qc, lie.quat_conj(q_ric)), lie.quat_normalize(qtd)
+        )))(q_c0_c, qr_td)
+
+        align = vinit.linear_alignment(p_c0_c, q_c0_b, preints,
+                                       self.cfg.imu.g_norm, self.state.tic)
+        if not align.ok or float(align.scale) < 1e-3:
+            return False
+
+        # ---- apply: gravity-align to world (visualInitialAlign,
+        # reference estimator.cpp:771-871)
+        s = align.scale
+        g_c0 = align.g_c0
+        R0 = lie.g2R(g_c0)
+        # zero the yaw of frame 0
+        R_b0 = lie.quat_to_mat(q_c0_b[0])
+        yaw0 = lie.mat_to_ypr(R0 @ R_b0)[0]
+        Ryaw = lie.ypr_to_mat(jnp.stack([-yaw0, jnp.zeros(()), jnp.zeros(())]))
+        R0 = Ryaw @ R0
+
+        R_c0_b = lie.quat_to_mat(q_c0_b)                     # (W,3,3)
+        p_body_c0 = (s * p_c0_c
+                     - jnp.einsum("wij,j->wi", R_c0_b, self.state.tic))
+        p_w = jnp.einsum("ij,wj->wi", R0, p_body_c0)
+        p_w = p_w - p_w[0:1]
+        q_w = jax.vmap(lambda q: lie.quat_mul(
+            lie.mat_to_quat(R0), q))(q_c0_b)
+        v_w = jnp.einsum("ij,wj->wi", R0,
+                         jnp.einsum("wij,wj->wi", R_c0_b, align.vel))
+
+        self.state = self.state._replace(p=p_w, q=jax.vmap(
+            lie.quat_normalize)(q_w), v=v_w)
+
+        # depths from triangulation with the aligned poses
+        feats = self._build_features()
+        # reset depth estimates (scale changed)
+        for tr in self.tracks.values():
+            if not tr.depth_fixed:
+                tr.inv_depth = -1.0
+        self._triangulate_new(feats)
+        self.solve_info["init"] = dict(l=l, scale=float(s),
+                                       stage_a_cost=stage_a.cost,
+                                       align_cost=align.cost)
+        return True
+
+    # ------------------------------------------------------- solve + slide
+
+    def _solve_and_slide(self):
+        W, F = self.W, self.F
+        e = self.cfg.estimator
+        self._assign_slots()
+        feats = self._build_features()
+        self._triangulate_new(feats)
+        feats = self._build_features()
+        preints, imask = self._preintegrate_all()
+        if self.lidar is not None:
+            icp_tab, zero_vel = self.lidar.build_constraints(self.times[:W])
+            lps_tab = self._build_lps_table()
+            eJ, er = _extras_jit(self.state, icp_tab, lps_tab,
+                                 jnp.asarray(zero_vel))
+        else:
+            eJ, er = ba.empty_extra(W, 0)
+        prob = ba.BAProblem(
+            feats=feats, preints=preints, interval_mask=imask,
+            prior=self.prior, gravity=self.gravity,
+            anchor_ref=self.state, extra_J=eJ, extra_r=er,
+            extra_x0=self.state)
+        res = _solve_jit(self.state, prob, focal=e.focal_length,
+                         iters=e.max_solver_iters)
+        new_state = res.state
+        if self._failure_detection(new_state):
+            self._reboot()
+            return
+        self.state = new_state
+        self.solve_info["cost"] = float(res.cost1)
+        # write back landmark depths to tracks
+        inv_d = np.asarray(self.state.inv_depth)
+        for s, fid in enumerate(self.slots):
+            if fid is not None and not self.tracks[fid].depth_fixed:
+                self.tracks[fid].inv_depth = float(inv_d[s])
+        # log newest pose
+        self.trajectory.append((self.times[-1],
+                                np.asarray(self.state.p[W - 1]),
+                                np.asarray(self.state.q[W - 1]),
+                                np.asarray(self.state.v[W - 1])))
+
+        # marginalize + slide
+        if self.marg_old:
+            self.prior = _marg_old_jit(self.state, prob,
+                                       focal=e.focal_length)
+            self._slide(old=True)
+        else:
+            if bool(self.prior.valid):
+                self.prior = _marg_new_jit(self.state, prob)
+            self._slide(old=False)
+
+    def _failure_detection(self, s_new: st.WindowState) -> bool:
+        e = self.cfg.estimator
+        ban = float(jnp.linalg.norm(s_new.ba[-1]))
+        bgn = float(jnp.linalg.norm(s_new.bg[-1]))
+        dp = float(jnp.linalg.norm(s_new.p[-1] - self.state.p[-1]))
+        dz = abs(float(s_new.p[-1, 2] - self.state.p[-1, 2]))
+        if not np.isfinite(float(jnp.sum(s_new.p))):
+            return True
+        return (ban > e.fail_ba_norm or bgn > e.fail_bg_norm
+                or dp > e.fail_trans_jump or dz > e.fail_z_jump)
+
+    def _reboot(self):
+        """clearState + setParameter (reference estimator.cpp:588-597)."""
+        failures = self.failures + 1
+        trajectory = self.trajectory
+        cfg = self.cfg
+        keep_qic, keep_tic = self.state.qic, self.state.tic
+        self.__init__(cfg)
+        self.state = self.state._replace(qic=keep_qic, tic=keep_tic)
+        self.failures = failures
+        self.trajectory = trajectory
+
+    def _slide(self, old: bool):
+        W = self.W
+        if old:
+            # shift states/buffers left; re-root features
+            self.state = ba.shift_state(self.state)
+            self.times.pop(0)
+            if self.intervals:
+                self.intervals.pop(0)
+            self._shift_tracks_old()
+        else:
+            # merge second-newest into newest (frame W-1 -> slot W-2)
+            self.state = ba.shift_state_second_new(self.state)
+            self.times.pop(W - 2)
+            if len(self.intervals) >= W - 1:
+                # merge IMU of interval (W-2 -> W-1) into (W-3 -> W-2)
+                last = self.intervals.pop(W - 2)
+                tgt = self.intervals[W - 3]
+                tgt.acc += last.acc
+                tgt.gyr += last.gyr
+                tgt.t += last.t
+            self._shift_tracks_second_new()
+
+    def _shift_tracks_old(self):
+        """Window index k -> k-1; re-root depths of frame-0 features
+        (removeBackShiftDepth, feature_manager.cpp:283-345)."""
+        p_w = np.asarray(self.state.p)   # already shifted
+        dead = []
+        for fid, tr in self.tracks.items():
+            if 0 in tr.obs:
+                o0 = tr.obs.pop(0)
+                rest = {k - 1: v for k, v in tr.obs.items()}
+                tr.obs = rest
+                if len(rest) < 2:
+                    dead.append(fid)
+                    continue
+                # re-root: transform depth from old frame 0 to the new start
+                # frame; host-side approximation uses the (pre-shift) poses
+                # stored implicitly in inv_depth re-triangulation next round
+                tr.inv_depth = -1.0 if not tr.depth_fixed else tr.inv_depth
+                if tr.depth_fixed:
+                    # lidar depth belongs to the dropped observation
+                    tr.depth_fixed = False
+                    tr.inv_depth = -1.0
+                    # a remaining obs may itself carry lidar depth
+                    ns = min(rest)
+                    if rest[ns].depth > 0:
+                        tr.inv_depth = 1.0 / rest[ns].depth
+                        tr.depth_fixed = True
+            else:
+                tr.obs = {k - 1: v for k, v in tr.obs.items()}
+        for fid in dead:
+            self._drop_track(fid)
+
+    def _shift_tracks_second_new(self):
+        W = self.W
+        dead = []
+        for fid, tr in self.tracks.items():
+            if W - 2 in tr.obs:
+                tr.obs.pop(W - 2)
+            if W - 1 in tr.obs:
+                tr.obs[W - 2] = tr.obs.pop(W - 1)
+            if len(tr.obs) < 1:
+                dead.append(fid)
+        for fid in dead:
+            self._drop_track(fid)
+
+    def _drop_track(self, fid: int):
+        tr = self.tracks.pop(fid, None)
+        if tr is not None and tr.slot >= 0:
+            self.slots[tr.slot] = None
+
+    # --------------------------------------------------------------- output
+
+    def latest_pose(self):
+        k = min(self.frame_count, self.W - 1)
+        return (np.asarray(self.state.p[k]), np.asarray(self.state.q[k]))

@@ -1,0 +1,95 @@
+"""Voxelized GICP registration as a fixed-iteration Gauss-Newton solve.
+
+The TPU replacement for the reference's vendored fast_gicp FastVGICP
+(reference: vils_estimator/src/lidar_functions/fast_gicp/include/fast_gicp/
+gicp/impl/fast_vgicp_impl.hpp, lsq_registration_impl.hpp:13-63; used
+scan-to-scan at estimator.cpp:263-313 with resolution 0.5 and 4 OpenMP
+threads).  Instead of per-point KNN covariances + trees + threads:
+
+  * the target cloud becomes a Gaussian voxel map (one scatter pass);
+  * source points inherit the covariance of their *own* cloud's voxel
+    (distribution-to-distribution, like VGICP's voxel means);
+  * each GN iteration is one fused vmapped kernel: gather voxel stats,
+    Mahalanobis-weighted residuals, 6-dof normal equations, solve on MXU.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from mvil_fusion_tpu.ops import voxel
+from mvil_fusion_tpu.utils import lie
+from mvil_fusion_tpu.utils.precision import full_precision
+
+
+class VgicpResult(NamedTuple):
+    p: jnp.ndarray         # (3,) translation target←source
+    q: jnp.ndarray         # (4,) rotation
+    fitness: jnp.ndarray   # mean squared point-to-voxel-mean distance
+    n_corr: jnp.ndarray    # matched source points (last iteration)
+    converged: jnp.ndarray
+
+
+@full_precision
+def vgicp_align(src: jnp.ndarray, src_mask: jnp.ndarray,
+                tgt_map: voxel.GaussianVoxelMap,
+                src_map: voxel.GaussianVoxelMap,
+                p0: jnp.ndarray, q0: jnp.ndarray,
+                iters: int = 12, max_corr_dist: float = 0.8,
+                eps: float = 5e-4) -> VgicpResult:
+    """Align source points to the target voxel map, initialized at (p0, q0).
+
+    src_map supplies per-source-point covariances (their own voxel's cov).
+    """
+    dtype = src.dtype
+    n = src.shape[0]
+    _, cov_s, hit_s = voxel.lookup(src_map, src)
+    w_valid = src_mask & hit_s
+
+    def gn_step(carry, _):
+        p, q, prev_dx = carry
+        R = lie.quat_to_mat(q)
+        ts = lie.quat_rotate(q[None, :], src) + p[None, :]
+        mean_t, cov_t, hit_t = voxel.lookup7(tgt_map, ts)
+        d = ts - mean_t
+        dist2 = jnp.sum(d * d, axis=-1)
+        ok = (w_valid & hit_t
+              & (dist2 < max_corr_dist * max_corr_dist)).astype(dtype)
+
+        # fused covariance: C = cov_t + R cov_s Rᵀ; weight W = C⁻¹
+        C = cov_t + jnp.einsum("ij,njk,lk->nil", R, cov_s, R)
+        W = jnp.linalg.inv(C + 1e-6 * jnp.eye(3, dtype=dtype))
+
+        # residual r = ts − mean_t; J wrt [δθ (right), δp]:
+        # ∂r/∂δθ = −R [src]× ; ∂r/∂δp = I
+        Jr = -jnp.einsum("ij,njk->nik", R, lie.skew(src))   # (N,3,3)
+        J = jnp.concatenate([Jr, jnp.broadcast_to(
+            jnp.eye(3, dtype=dtype), (n, 3, 3))], axis=-1)  # (N,3,6)
+        WJ = jnp.einsum("nij,njk->nik", W, J)
+        H = jnp.einsum("nji,njk->ik", J * ok[:, None, None], WJ)
+        g = -jnp.einsum("nji,njk,nk->i", J * ok[:, None, None], W, d)
+        H = H + 1e-6 * jnp.eye(6, dtype=dtype)
+        dx = jnp.linalg.solve(H, g)
+        q_new = lie.quat_boxplus(q, dx[:3])
+        p_new = p + dx[3:]
+        return (p_new, q_new, jnp.linalg.norm(dx)), None
+
+    (p, q, last_dx), _ = jax.lax.scan(
+        gn_step, (p0.astype(dtype), q0.astype(dtype),
+                  jnp.asarray(jnp.inf, dtype)), None, length=iters)
+
+    # final fitness on the converged pose (pcl-style mean squared distance
+    # of matched points — the gate used by the reference's constraint-mode
+    # classifier, estimator.cpp:324-436)
+    ts = lie.quat_rotate(q[None, :], src) + p[None, :]
+    mean_t, _, hit_t = voxel.lookup7(tgt_map, ts)
+    d2 = jnp.sum((ts - mean_t) ** 2, axis=-1)
+    ok = w_valid & hit_t & (d2 < max_corr_dist * max_corr_dist)
+    n_corr = jnp.sum(ok)
+    fitness = jnp.sum(jnp.where(ok, d2, 0.0)) / jnp.maximum(n_corr, 1)
+    converged = (last_dx < eps) & (n_corr > 50)
+    return VgicpResult(p=p, q=q, fitness=fitness, n_corr=n_corr,
+                       converged=converged)
