@@ -1,0 +1,346 @@
+"""Global mapping back end: keyed submaps, pose graph, loop closure.
+
+Re-architecture of the reference's `global_ikdtree` node (reference:
+lidar_mapping/src/globalMappingIkdTree.cpp): incremental localization by
+odometry-delta composition (:179-182), scan-to-map registration against a
+reference cloud of nearby keyed scans (:241-271, ikd-tree 5-NN + FastVGICP →
+here a Gaussian-voxel map + our VGICP), GPS-z floor priors (:216-228),
+radius loop closure (:300-312, 434-510) and ScanContext loop proposals
+(:338-394) verified by registration, all fused by a batched pose-graph
+re-solve (mapping/pose_graph.py) instead of iSAM2.  Keyed scans + corrected
+poses are the persistent map (the reference's Backend.txt / Map.pcd).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.mapping import pose_graph as pg
+from mvil_fusion_tpu.mapping.local_mapping import Submap
+from mvil_fusion_tpu.ops import scancontext as sc, vgicp, voxel
+from mvil_fusion_tpu.utils import lie
+
+N_MAX = 512
+E_MAX = 2048
+Z_MAX = 512
+
+_solve_graph_jit = jax.jit(pg.solve, static_argnames=("iters",))
+_build_map_jit = jax.jit(
+    voxel.build_gaussian_voxel_map,
+    static_argnames=("leaf", "table_size", "min_points", "plane_eps"))
+_vgicp_jit = jax.jit(vgicp.vgicp_align,
+                     static_argnames=("iters", "max_corr_dist", "eps"))
+_downsample_jit = jax.jit(voxel.voxel_downsample,
+                          static_argnames=("leaf", "max_out", "table_size"))
+_make_desc_jit = jax.jit(sc.make_descriptor,
+                         static_argnames=("n_ring", "n_sector", "max_radius"))
+_detect_loop_jit = jax.jit(sc.detect_loop, static_argnames=("n_candidates",))
+
+SCAN_CAP = 8192          # per keyed scan point capacity (padded)
+
+
+class GlobalMapper:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        g = cfg.global_mapping
+        self.graph = pg.empty_graph(N_MAX, E_MAX, Z_MAX)
+        self.n_nodes = 0
+        self.n_edges = 0
+        self.n_z = 0
+        self.scans: list[np.ndarray] = []       # body-frame keyed scans
+        self.scan_masks: list[np.ndarray] = []
+        self.times: list[float] = []
+        self.floor_ids: list[int] = []
+        self.last_odom: Optional[tuple] = None  # (p, q) at previous submap
+        self.loops_closed = 0
+        self.loop_pairs: list[tuple] = []
+        self.sc_desc = np.zeros((N_MAX, g.sc_num_ring, g.sc_num_sector),
+                                np.float32)
+        self.sc_keys = np.zeros((N_MAX, g.sc_num_ring), np.float32)
+        self._since_last_close = 10**9
+
+    # ------------------------------------------------------------- helpers
+
+    def _node_pose(self, i: int):
+        return (np.asarray(self.graph.p[i]), np.asarray(self.graph.q[i]))
+
+    def _floor_id(self, z: float) -> int:
+        fh = self.cfg.global_mapping.floor_height
+        return int(np.floor((z + 0.5 * fh) / fh))
+
+    def _pad_scan(self, pts: np.ndarray):
+        n = min(len(pts), SCAN_CAP)
+        out = np.zeros((SCAN_CAP, 3), np.float32)
+        out[:n] = pts[:n]
+        m = np.zeros(SCAN_CAP, bool)
+        m[:n] = True
+        return out, m
+
+    def _reference_map(self, center: np.ndarray, exclude_recent: int = 0):
+        """Gaussian voxel map from the K nearest keyed scans (world frame,
+        corrected poses) — the ikd-tree reference cloud analog."""
+        n = self.n_nodes - exclude_recent
+        if n <= 0:
+            return None
+        pos = np.asarray(self.graph.p[:n])
+        d = np.linalg.norm(pos - center[None, :], axis=1)
+        k = min(5, n)
+        near = np.argsort(d)[:k]
+        pts_all, mask_all = [], []
+        for i in near:
+            p_i, q_i = self._node_pose(i)
+            R = np.asarray(lie.quat_to_mat(jnp.asarray(q_i)))
+            pts_all.append(self.scans[i] @ R.T + p_i)
+            mask_all.append(self.scan_masks[i])
+        pts = jnp.asarray(np.concatenate(pts_all, axis=0))
+        mask = jnp.asarray(np.concatenate(mask_all, axis=0))
+        return _build_map_jit(pts, mask,
+                              leaf=self.cfg.lidar.vgicp_resolution)
+
+    def _register(self, scan, scan_mask, ref_map, p0, q0):
+        src_map = _build_map_jit(scan, scan_mask,
+                                 leaf=self.cfg.lidar.vgicp_resolution)
+        reg = _downsample_jit(scan, scan_mask,
+                              leaf=self.cfg.lidar.vgicp_resolution,
+                              max_out=4096)
+        return _vgicp_jit(reg.pts, reg.mask, ref_map, src_map,
+                          jnp.asarray(p0, jnp.float32),
+                          jnp.asarray(q0, jnp.float32),
+                          iters=self.cfg.lidar.vgicp_iters,
+                          max_corr_dist=self.cfg.lidar.max_corr_dist)
+
+    def _add_edge(self, i, j, dp, dq, w):
+        e = self.n_edges
+        if e >= E_MAX:
+            return
+        self.graph = self.graph._replace(
+            e_i=self.graph.e_i.at[e].set(i),
+            e_j=self.graph.e_j.at[e].set(j),
+            e_dp=self.graph.e_dp.at[e].set(jnp.asarray(dp, jnp.float32)),
+            e_dq=self.graph.e_dq.at[e].set(jnp.asarray(dq, jnp.float32)),
+            e_w=self.graph.e_w.at[e].set(float(w)),
+            e_mask=self.graph.e_mask.at[e].set(True))
+        self.n_edges += 1
+
+    # ------------------------------------------------------------- main API
+
+    def add_submap(self, sm: Submap) -> dict:
+        """Process one keyed submap; returns localization info (the
+        /laser_localizer feedback for the estimator's LPS)."""
+        g = self.cfg.global_mapping
+        i = self.n_nodes
+        assert i < N_MAX, "pose-graph capacity exceeded"
+        scan, scan_mask = self._pad_scan(sm.pts)
+
+        if i == 0:
+            p_new = sm.p_w.astype(np.float32)
+            q_new = sm.q_w.astype(np.float32)
+        else:
+            # predicted pose: previous corrected node ∘ odometry delta
+            p_prev, q_prev = self._node_pose(i - 1)
+            dp, dq = lie.pose_between(
+                jnp.asarray(self.last_odom[0]), jnp.asarray(self.last_odom[1]),
+                jnp.asarray(sm.p_w), jnp.asarray(sm.q_w))
+            p_pred, q_pred = lie.pose_compose(
+                jnp.asarray(p_prev), jnp.asarray(q_prev), dp, dq)
+            # refine against the reference map
+            ref = self._reference_map(np.asarray(p_pred))
+            if ref is not None:
+                res = self._register(jnp.asarray(scan), jnp.asarray(scan_mask),
+                                     ref, p_pred, q_pred)
+                good = (float(res.fitness) < g.max_tolerable_fitness
+                        and int(res.n_corr) > 100)
+                if good:
+                    p_new = np.asarray(res.p)
+                    q_new = np.asarray(res.q)
+                else:
+                    p_new = np.asarray(p_pred)
+                    q_new = np.asarray(q_pred)
+            else:
+                p_new = np.asarray(p_pred)
+                q_new = np.asarray(q_pred)
+
+        # ---- add node
+        self.graph = self.graph._replace(
+            p=self.graph.p.at[i].set(jnp.asarray(p_new)),
+            q=self.graph.q.at[i].set(jnp.asarray(q_new)),
+            node_mask=self.graph.node_mask.at[i].set(True))
+        self.scans.append(sm.pts.copy() if len(sm.pts) <= SCAN_CAP
+                          else sm.pts[:SCAN_CAP].copy())
+        sc_pad, sc_m = self._pad_scan(sm.pts)
+        self.scans[-1] = sc_pad
+        self.scan_masks.append(sc_m)
+        self.times.append(sm.t)
+        fid = self._floor_id(float(p_new[2]))
+        self.floor_ids.append(fid)
+        self.last_odom = (sm.odom_p.copy(), sm.odom_q.copy())
+        self.n_nodes += 1
+        self._since_last_close += 1
+
+        # ScanContext descriptor for every keyed scan (the reference's
+        # makeAndSaveScancontextAndKeys on submap arrival :279-288)
+        desc = np.asarray(_make_desc_jit(
+            jnp.asarray(self.scans[i]), jnp.asarray(self.scan_masks[i]),
+            n_ring=g.sc_num_ring, n_sector=g.sc_num_sector,
+            max_radius=g.sc_max_radius))
+        self.sc_desc[i] = desc
+        self.sc_keys[i] = np.asarray(sc.ring_key(jnp.asarray(desc)))
+
+        # between factor to previous node
+        if i > 0:
+            p_prev, q_prev = self._node_pose(i - 1)
+            dp, dq = lie.pose_between(jnp.asarray(p_prev), jnp.asarray(q_prev),
+                                      jnp.asarray(p_new), jnp.asarray(q_new))
+            self._add_edge(i - 1, i, np.asarray(dp), np.asarray(dq), 10.0)
+
+        # GPS-z floor prior (variance 50 when near the floor plane, huge
+        # otherwise — globalMappingIkdTree.cpp:216-228)
+        fh = g.floor_height
+        z_floor = fid * fh
+        near_floor = abs(float(p_new[2]) - z_floor) < 0.25 * fh
+        if self.n_z < Z_MAX:
+            w = (1.0 / np.sqrt(50.0)) if near_floor else 1e-3
+            self.graph = self.graph._replace(
+                z_node=self.graph.z_node.at[self.n_z].set(i),
+                z_val=self.graph.z_val.at[self.n_z].set(z_floor),
+                z_w=self.graph.z_w.at[self.n_z].set(w),
+                z_mask=self.graph.z_mask.at[self.n_z].set(True))
+            self.n_z += 1
+
+        # ---- loop closures
+        closed = False
+        if g.check_loop_closure and self._since_last_close >= \
+                g.poses_before_reclosing:
+            closed = self._try_radius_loop(i) or self._try_sc_loop(i)
+        if closed:
+            self.loops_closed += 1
+            self._since_last_close = 0
+            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+
+        p_fin, q_fin = self._node_pose(i)
+        return dict(node=i, p=p_fin, q=q_fin, t=sm.t, floor=fid,
+                    closed_loop=closed)
+
+    # ---------------------------------------------------------------- loops
+
+    def _verify_loop(self, i: int, j: int) -> bool:
+        """Register scan i against a map around node j; add edge on
+        success."""
+        g = self.cfg.global_mapping
+        p_i, q_i = self._node_pose(i)
+        p_j, q_j = self._node_pose(j)
+        pts_all, mask_all = [], []
+        for k in (j - 1, j, j + 1):
+            if 0 <= k < self.n_nodes and k != i:
+                pk, qk = self._node_pose(k)
+                R = np.asarray(lie.quat_to_mat(jnp.asarray(qk)))
+                pts_all.append(self.scans[k] @ R.T + pk)
+                mask_all.append(self.scan_masks[k])
+        if not pts_all:
+            return False
+        ref = _build_map_jit(jnp.asarray(np.concatenate(pts_all)),
+                             jnp.asarray(np.concatenate(mask_all)),
+                             leaf=self.cfg.lidar.vgicp_resolution)
+        res = self._register(jnp.asarray(self.scans[i]),
+                             jnp.asarray(self.scan_masks[i]), ref, p_i, q_i)
+        if (float(res.fitness) > g.max_tolerable_fitness
+                or int(res.n_corr) < 100):
+            return False
+        p_new = np.asarray(res.p)
+        q_new = np.asarray(res.q)
+        # measured relative pose j→i from the registration result
+        dp, dq = lie.pose_between(jnp.asarray(p_j), jnp.asarray(q_j),
+                                  jnp.asarray(p_new), jnp.asarray(q_new))
+        self._add_edge(j, i, np.asarray(dp), np.asarray(dq), 20.0)
+        self.loop_pairs.append((j, i))
+        return True
+
+    def _try_radius_loop(self, i: int) -> bool:
+        """Proximity loop closure (same floor, skip recent)."""
+        g = self.cfg.global_mapping
+        lim = self.n_nodes - g.skip_recent_poses
+        if lim <= 0:
+            return False
+        p_i = np.asarray(self.graph.p[i])
+        pos = np.asarray(self.graph.p[:lim])
+        d = np.linalg.norm(pos - p_i[None, :], axis=1)
+        same_floor = np.asarray(self.floor_ids[:lim]) == self.floor_ids[i]
+        cand = np.nonzero((d < g.proximity_threshold) & same_floor)[0]
+        if len(cand) == 0:
+            return False
+        j = int(cand[np.argmin(d[cand])])
+        return self._verify_loop(i, j)
+
+    def _try_sc_loop(self, i: int) -> bool:
+        """ScanContext loop proposal (reference SC thread :338-394)."""
+        g = self.cfg.global_mapping
+        desc = self.sc_desc[i]
+        lim = self.n_nodes - g.sc_num_exclude_recent
+        if lim <= 0:
+            return False
+        db_mask = np.zeros(N_MAX, bool)
+        db_mask[:lim] = True
+        same_floor = np.asarray(
+            [self.floor_ids[k] == self.floor_ids[i] if k < lim else False
+             for k in range(N_MAX)])
+        db_mask &= same_floor
+        if not db_mask.any():
+            return False
+        cands = _detect_loop_jit(jnp.asarray(desc), jnp.asarray(self.sc_keys[i]),
+                                 jnp.asarray(self.sc_desc),
+                                 jnp.asarray(self.sc_keys),
+                                 jnp.asarray(db_mask),
+                                 n_candidates=g.sc_num_candidates)
+        dists = np.asarray(cands.dist)
+        best = int(np.argmin(dists))
+        if not np.isfinite(dists[best]) or dists[best] > g.sc_dist_threshold:
+            return False
+        j = int(np.asarray(cands.idx)[best])
+        return self._verify_loop(i, j)
+
+    # --------------------------------------------------------------- output
+
+    def ensure_descriptor(self, i: int):
+        g = self.cfg.global_mapping
+        if not self.sc_keys[i].any():
+            desc = np.asarray(_make_desc_jit(
+                jnp.asarray(self.scans[i]), jnp.asarray(self.scan_masks[i]),
+                n_ring=g.sc_num_ring, n_sector=g.sc_num_sector,
+                max_radius=g.sc_max_radius))
+            self.sc_desc[i] = desc
+            self.sc_keys[i] = np.asarray(sc.ring_key(jnp.asarray(desc)))
+
+    def trajectory(self):
+        """Corrected keyed poses — the Backend.txt content."""
+        return [(self.times[i], np.asarray(self.graph.p[i]),
+                 np.asarray(self.graph.q[i])) for i in range(self.n_nodes)]
+
+    def save_trajectory(self, path: str):
+        """TUM-format trajectory (reference SerialPath2File)."""
+        with open(path, "w") as f:
+            for t, p, q in self.trajectory():
+                f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                        f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+    def global_map(self, leaf: float | None = None):
+        """Aggregated world-frame map cloud (the Map.pcd equivalent)."""
+        if self.n_nodes == 0:
+            return np.zeros((0, 3), np.float32)
+        leaf = leaf or self.cfg.global_mapping.map_voxel_size
+        pts_all = []
+        for i in range(self.n_nodes):
+            p_i, q_i = self._node_pose(i)
+            R = np.asarray(lie.quat_to_mat(jnp.asarray(q_i)))
+            pts_all.append((self.scans[i] @ R.T + p_i)[self.scan_masks[i]])
+        pts = np.concatenate(pts_all, axis=0).astype(np.float32)
+        cap = 1 << 17
+        ds = _downsample_jit(jnp.asarray(pts[: 4 * cap]),
+                             jnp.ones(min(len(pts), 4 * cap), bool),
+                             leaf=leaf, max_out=cap)
+        return np.asarray(ds.pts)[np.asarray(ds.mask)]

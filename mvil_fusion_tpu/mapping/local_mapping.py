@@ -1,0 +1,181 @@
+"""LOAM local mapping: scan-to-map refinement on a rolling feature map.
+
+Re-architecture of the reference's `local` node (reference: lidar_mapping/
+src/localMapping.cpp:259-1089): the 11×11×7 cube grid with recentering
+(:341-536) becomes two fixed-capacity world-frame feature buffers cropped to
+a radius around the sensor (same locality, no pointer grid); kd-trees become
+brute-force MXU top-k (ops/loam_icp.py); and the FOR_GLOBAL submap handoff
+(:893-982 — accumulate body-frame submap, publish every >2 m or 30 frames,
+then reset the map) is preserved for the global back end.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.ops import loam_icp, voxel
+from mvil_fusion_tpu.utils import lie
+
+_scan_to_map_jit = jax.jit(
+    loam_icp.scan_to_map,
+    static_argnames=("outer_iters", "gn_iters", "max_corr_dist"))
+_downsample_jit = jax.jit(
+    voxel.voxel_downsample,
+    static_argnames=("leaf", "max_out", "table_size"))
+
+CORNER_CAP = 16384
+SURF_CAP = 32768
+SUBMAP_CAP = 32768
+
+
+@dataclass
+class Submap:
+    """Keyed local map handed to the global back end (body frame of the
+    submap's key pose)."""
+
+    t: float
+    p_w: np.ndarray
+    q_w: np.ndarray
+    pts: np.ndarray
+    odom_p: np.ndarray     # odometry pose at key time (for delta chaining)
+    odom_q: np.ndarray
+
+
+class LocalMapper:
+    def __init__(self, cfg: SystemConfig):
+        self.cfg = cfg
+        m = cfg.local_mapping
+        self.corner_map = jnp.zeros((CORNER_CAP, 3), jnp.float32)
+        self.corner_mask = jnp.zeros((CORNER_CAP,), bool)
+        self.surf_map = jnp.zeros((SURF_CAP, 3), jnp.float32)
+        self.surf_mask = jnp.zeros((SURF_CAP,), bool)
+        # map-to-odometry correction (reference wmap_wodom)
+        self.p_corr = np.zeros(3, np.float32)
+        self.q_corr = np.asarray([1, 0, 0, 0], np.float32)
+        self.initialized = False
+        # submap accumulation (FOR_GLOBAL)
+        self.accum_pts: list = []
+        self.accum_start_pose: Optional[tuple] = None
+        self.frames_since_submap = 0
+        self.trajectory: list = []     # Midend.txt equivalent
+        self.submaps_emitted = 0
+
+    # ------------------------------------------------------------------
+
+    def _apply_corr(self, p_odom, q_odom):
+        """w_map ← w_odom composition (transformAssociateToMap)."""
+        q = lie.quat_mul(jnp.asarray(self.q_corr), jnp.asarray(q_odom))
+        p = (lie.quat_rotate(jnp.asarray(self.q_corr), jnp.asarray(p_odom))
+             + jnp.asarray(self.p_corr))
+        return p, lie.quat_normalize(q)
+
+    def _insert(self, buf, mask, new_pts, new_mask, leaf, cap):
+        """Append + re-voxelize the rolling buffer (the reference re-filters
+        touched cubes, :800-868)."""
+        allp = jnp.concatenate([buf, new_pts], axis=0)
+        allm = jnp.concatenate([mask, new_mask], axis=0)
+        ds = _downsample_jit(allp, allm, leaf=leaf, max_out=cap)
+        return ds.pts, ds.mask
+
+    def _crop(self, center: np.ndarray, radius: float = 60.0):
+        d = jnp.linalg.norm(self.surf_map - jnp.asarray(center)[None, :],
+                            axis=-1)
+        self.surf_mask = self.surf_mask & (d < radius)
+        dc = jnp.linalg.norm(self.corner_map - jnp.asarray(center)[None, :],
+                             axis=-1)
+        self.corner_mask = self.corner_mask & (dc < radius)
+
+    # ------------------------------------------------------------------
+
+    def process(self, t: float, sharp, sharp_mask, flat, flat_mask,
+                p_odom: np.ndarray, q_odom: np.ndarray) -> Optional[Submap]:
+        """One feature frame: returns a Submap when the handoff triggers."""
+        m = self.cfg.local_mapping
+        sharp = jnp.asarray(sharp)
+        flat = jnp.asarray(flat)
+        sharp_mask = jnp.asarray(sharp_mask)
+        flat_mask = jnp.asarray(flat_mask)
+
+        p_guess, q_guess = self._apply_corr(p_odom, q_odom)
+
+        if not self.initialized:
+            p_new, q_new = p_guess, q_guess
+        else:
+            p_new, q_new, n_e, n_p, res = _scan_to_map_jit(
+                sharp, sharp_mask, flat, flat_mask,
+                self.corner_map, self.corner_mask,
+                self.surf_map, self.surf_mask,
+                p_guess.astype(jnp.float32), q_guess.astype(jnp.float32),
+                outer_iters=m.outer_iters, gn_iters=m.gn_iters)
+            if int(n_e) + int(n_p) < 50:
+                # degenerate association — keep odometry prediction
+                p_new, q_new = p_guess, q_guess
+
+        # update wmap_wodom: T_corr = T_map ∘ T_odom⁻¹ (transformUpdate)
+        p_oi, q_oi = lie.pose_inverse(jnp.asarray(p_odom, jnp.float32),
+                                      jnp.asarray(q_odom, jnp.float32))
+        pc, qc = lie.pose_compose(p_new, q_new, p_oi, q_oi)
+        self.p_corr = np.asarray(pc)
+        self.q_corr = np.asarray(qc)
+
+        # insert features into the rolling map (world frame)
+        sharp_w = lie.quat_rotate(q_new[None, :], sharp) + p_new[None, :]
+        flat_w = lie.quat_rotate(q_new[None, :], flat) + p_new[None, :]
+        self.corner_map, self.corner_mask = self._insert(
+            self.corner_map, self.corner_mask, sharp_w, sharp_mask,
+            m.corner_leaf, CORNER_CAP)
+        self.surf_map, self.surf_mask = self._insert(
+            self.surf_map, self.surf_mask, flat_w, flat_mask,
+            m.surf_leaf, SURF_CAP)
+        self._crop(np.asarray(p_new))
+        self.initialized = True
+        self.trajectory.append((t, np.asarray(p_new), np.asarray(q_new)))
+
+        # ---- submap accumulation + handoff (FOR_GLOBAL)
+        p_np, q_np = np.asarray(p_new), np.asarray(q_new)
+        if self.accum_start_pose is None:
+            self.accum_start_pose = (p_np.copy(), q_np.copy(), t,
+                                     np.asarray(p_odom).copy(),
+                                     np.asarray(q_odom).copy())
+        self.accum_pts.append(
+            np.asarray(flat_w)[np.asarray(flat_mask)])
+        self.frames_since_submap += 1
+        dist = np.linalg.norm(p_np - self.accum_start_pose[0])
+        if (dist > m.submap_trigger_dist
+                or self.frames_since_submap >= m.submap_trigger_frames):
+            sm = self._emit_submap(t, p_np, q_np, np.asarray(p_odom),
+                                   np.asarray(q_odom))
+            return sm
+        return None
+
+    def _emit_submap(self, t, p_np, q_np, p_odom, q_odom) -> Submap:
+        """Publish accumulated map in the key-pose body frame, then reset the
+        rolling map (localMapping.cpp:893-982)."""
+        pts_w = np.concatenate(self.accum_pts, axis=0) \
+            if self.accum_pts else np.zeros((0, 3), np.float32)
+        R = np.asarray(lie.quat_to_mat(jnp.asarray(q_np)))
+        pts_b = (pts_w - p_np[None, :]) @ R
+        if len(pts_b) > SUBMAP_CAP:
+            sel = np.random.default_rng(0).choice(len(pts_b), SUBMAP_CAP,
+                                                  replace=False)
+            pts_b = pts_b[sel]
+        sm = Submap(t=t, p_w=p_np.copy(), q_w=q_np.copy(),
+                    pts=pts_b.astype(np.float32),
+                    odom_p=p_odom.copy(), odom_q=q_odom.copy())
+        # reset the rolling map (the reference clears the cube grid and
+        # wmap_wodom on handoff, localMapping.cpp:979-980 — bounds error
+        # accumulation; the global back end owns long-term consistency)
+        self.corner_mask = jnp.zeros_like(self.corner_mask)
+        self.surf_mask = jnp.zeros_like(self.surf_mask)
+        self.initialized = False
+        self.accum_pts = []
+        self.accum_start_pose = None
+        self.frames_since_submap = 0
+        self.submaps_emitted += 1
+        return sm
