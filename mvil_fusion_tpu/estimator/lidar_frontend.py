@@ -39,6 +39,56 @@ _vgicp_jit = jax.jit(vgicp.vgicp_align,
                      static_argnames=("iters", "max_corr_dist", "eps"))
 
 
+def lidar_align(q_l: jnp.ndarray, t_l: jnp.ndarray, t_b: jnp.ndarray,
+                q_b: jnp.ndarray, q_lb0: jnp.ndarray,
+                plb_lower, plb_upper, iters: int = 40):
+    """Joint (R_lb, T_lb) refinement from paired relative motions.
+
+    Faithful port of the reference's bounded Ceres solve
+    (reference: lidar_frontend.cpp Lidar_align :233-331, residual
+    lidar_frontend.h LidarInitConstraint :156-238):
+      translation rows: (I − R_l) T_lb − t_l + R_lb t_b
+      rotation rows:    2·vec( R_lb R_b R_lbᵀ R_lᵀ )
+    with T_lb box-bounded by PLB_* — solved with projected LM.
+
+    Returns (q_lb, t_lb, ok).
+    """
+    from mvil_fusion_tpu.ops import lm as lm_mod
+
+    dtype = t_l.dtype
+    n = t_l.shape[0]
+    R_l = lie.quat_to_mat(q_l)                    # (N,3,3)
+    R_b = lie.quat_to_mat(q_b)
+    I3 = jnp.eye(3, dtype=dtype)
+
+    def residual(x):
+        q_lb = lie.quat_boxplus(q_lb0, x[0:3])
+        t_lb = x[3:6]
+        R_lb = lie.quat_to_mat(q_lb)
+
+        def per_pair(k):
+            r_t = (I3 - R_l[k]) @ t_lb - t_l[k] + R_lb @ t_b[k]
+            Rres = R_lb @ R_b[k] @ R_lb.T @ R_l[k].T
+            r_r = 2.0 * lie.mat_to_quat(Rres)[1:4]
+            return jnp.concatenate([r_t, r_r])
+
+        return jax.vmap(per_pair)(jnp.arange(n)).reshape(-1)
+
+    lower = jnp.concatenate([jnp.full((3,), -jnp.inf, dtype),
+                             jnp.asarray(plb_lower, dtype)])
+    upper = jnp.concatenate([jnp.full((3,), jnp.inf, dtype),
+                             jnp.asarray(plb_upper, dtype)])
+    x0 = jnp.zeros((6,), dtype)
+    x0 = x0.at[3:6].set(jnp.clip(jnp.zeros(3, dtype),
+                                 jnp.asarray(plb_lower, dtype),
+                                 jnp.asarray(plb_upper, dtype)))
+    res = lm_mod.lm_solve(residual, x0, iters=iters, lower=lower,
+                          upper=upper)
+    q_lb = lie.quat_boxplus(q_lb0, res.x[0:3])
+    ok = float(res.cost) < 1.0   # reference gate: final_cost > 1.0 → fail
+    return q_lb, res.x[3:6], ok
+
+
 @dataclass
 class IcpRecord:
     """Host-side record of one scan-to-scan constraint (the reference's
@@ -84,6 +134,8 @@ class LidarFrontend:
         # LI extrinsic calibration buffers (lidar_frontend.cpp:32-141)
         self.calib_q_b: list = []
         self.calib_q_l: list = []
+        self.calib_t_b: list = []
+        self.calib_t_l: list = []
         self.calib_w: list = []
         self.calibrated = not lc.use_estimated_extrinsic
         self.deskewed_world: Optional[tuple] = None   # for depth register
@@ -153,6 +205,7 @@ class LidarFrontend:
                                   leaf=lc.vgicp_resolution, max_out=4096)
 
         out = dict(t_end=t_end, pts=down.pts, mask=down.mask,
+                   full_pts=undist, full_mask=jnp.asarray(mask),
                    p_l=np.asarray(pl_e), q_l=np.asarray(ql_e), mode=0)
 
         prev = self.prev
@@ -249,25 +302,51 @@ class LidarFrontend:
         if not self.calibrated and mode in (2, 3):
             q_b_rel = np.asarray(lie.quat_mul(lie.quat_conj(
                 jnp.asarray(prev.q_w)), jnp.asarray(cur.q_w)))
+            t_b_rel = np.asarray(lie.quat_rotate_inv(
+                jnp.asarray(prev.q_w),
+                jnp.asarray(cur.p_w - prev.p_w)))
             self.calib_q_b.append(q_b_rel)
             self.calib_q_l.append(q_icp)
+            self.calib_t_b.append(t_b_rel)
+            self.calib_t_l.append(t_icp)
             self.calib_w.append(1.0 / max(fitness, 1e-2))
             if len(self.calib_q_b) >= 30:
-                self._calibrate_rotation()
+                self._calibrate_extrinsics()
 
         self.prev = cur
         return out
 
-    def _calibrate_rotation(self):
+    def _calibrate_extrinsics(self):
         """Hand-eye LI rotation (lidar_frontend.cpp
-        CalibrationLidarExRotation :32-141)."""
+        CalibrationLidarExRotation :32-141) followed by the bounded joint
+        (R_lb, T_lb) refinement (Lidar_align :233-331)."""
         from mvil_fusion_tpu.estimator.initialization import hand_eye_rotation
+        lc = self.cfg.lidar
         q_lb = hand_eye_rotation(
             jnp.asarray(np.asarray(self.calib_q_b), jnp.float32),
             jnp.asarray(np.asarray(self.calib_q_l), jnp.float32),
             jnp.asarray(np.asarray(self.calib_w), jnp.float32))
-        self.q_lb = np.asarray(q_lb)
-        self.rlb = np.asarray(lie.quat_to_mat(q_lb))
+        q_lb_r, t_lb, ok = lidar_align(
+            jnp.asarray(np.asarray(self.calib_q_l), jnp.float32),
+            jnp.asarray(np.asarray(self.calib_t_l), jnp.float32),
+            jnp.asarray(np.asarray(self.calib_t_b), jnp.float32),
+            jnp.asarray(np.asarray(self.calib_q_b), jnp.float32),
+            q_lb, jnp.asarray(lc.plb_lower, jnp.float32),
+            jnp.asarray(lc.plb_upper, jnp.float32))
+        if not ok:
+            # keep rotation-only result, retry translation later
+            # (reference watchdog resets after 200 frames,
+            # lidar_frontend.cpp:58-63)
+            if len(self.calib_q_b) > 200:
+                self.calib_q_b.clear()
+                self.calib_q_l.clear()
+                self.calib_t_b.clear()
+                self.calib_t_l.clear()
+                self.calib_w.clear()
+            return
+        self.q_lb = np.asarray(q_lb_r)
+        self.rlb = np.asarray(lie.quat_to_mat(q_lb_r))
+        self.tlb = np.asarray(t_lb)
         self.calibrated = True
 
     # ------------------------------------------------------- factor tables

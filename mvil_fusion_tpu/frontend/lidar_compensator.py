@@ -1,0 +1,76 @@
+"""LiDAR compensator front end: ring split + per-point relative time.
+
+Replaces the reference's lidar_compensator node (reference:
+lidar_compensator/src/PointProcessor.cc PointToRing/ElevationToRing
+:107-341, sensor presets processor_node.cc:29-43 — 16/32/64-ring presets,
+azimuth→relative-time annotation, intensity rewritten as ring + rel_time).
+
+One vectorized device call per sweep; the output feeds the estimator's
+`process_lidar` (which deskews) exactly like the reference's /full_cloud.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.ops import deskew as dsk
+
+# elevation presets (deg): (fov_down, fov_up, n_rings)
+SENSOR_PRESETS = {
+    "leishen_c16": (-15.0, 15.0, 16),
+    "vlp16": (-15.0, 15.0, 16),
+    "hdl32": (-30.67, 10.67, 32),
+    "hdl64": (-24.9, 2.0, 64),
+}
+
+
+class CompensatedSweep(NamedTuple):
+    pts: np.ndarray        # (N,3)
+    ring: np.ndarray       # (N,)
+    rel_time: np.ndarray   # (N,)
+    mask: np.ndarray       # (N,)
+    intensity: np.ndarray  # (N,) ring + rel_time (reference encoding)
+    t_start: float
+
+
+@partial(jax.jit, static_argnames=("n_rings", "scan_period", "fov_down",
+                                   "fov_up", "min_dist", "max_dist"))
+def _annotate(pts, mask, n_rings: int, scan_period: float,
+              fov_down: float, fov_up: float,
+              min_dist: float, max_dist: float):
+    ring, rel_time, ring_ok = dsk.ring_and_time(
+        pts, n_rings, scan_period, fov_up_deg=fov_up, fov_down_deg=fov_down)
+    rng = jnp.linalg.norm(pts, axis=-1)
+    ok = mask & ring_ok & (rng > min_dist) & (rng < max_dist)
+    intensity = ring.astype(pts.dtype) + rel_time
+    return ring, rel_time, ok, intensity
+
+
+@dataclass
+class LidarCompensator:
+    cfg: SystemConfig
+    sensor: str = "leishen_c16"
+
+    def process(self, t_start: float, pts: np.ndarray,
+                valid: np.ndarray | None = None) -> CompensatedSweep:
+        """Annotate one raw sweep (N,3) with ring ids and relative times."""
+        lc = self.cfg.lidar
+        fov_down, fov_up, n_rings = SENSOR_PRESETS[self.sensor]
+        if valid is None:
+            valid = np.isfinite(pts).all(axis=-1)
+        ring, rel, ok, inten = _annotate(
+            jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+            n_rings=n_rings, scan_period=lc.scan_period,
+            fov_down=fov_down, fov_up=fov_up,
+            min_dist=lc.min_distance, max_dist=lc.max_distance)
+        return CompensatedSweep(
+            pts=np.asarray(pts, np.float32), ring=np.asarray(ring),
+            rel_time=np.asarray(rel), mask=np.asarray(ok),
+            intensity=np.asarray(inten), t_start=t_start)

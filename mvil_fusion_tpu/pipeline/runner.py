@@ -1,0 +1,106 @@
+"""Asynchronous pipeline runner over native channels.
+
+The reference runs six processes with internal worker threads and mutexes
+(reference: estimator_node.cpp:20-36 m_buf/m_state/l_buf mutexes + process/
+process_lidar threads).  Here each stage is one Python thread draining a
+bounded native channel and pushing to the next — ctypes blocking pops
+release the GIL, so host preprocessing, device dispatch, and IO genuinely
+overlap.  A `deterministic` mode drains stages round-robin on one thread
+for reproducible tests.
+"""
+
+from __future__ import annotations
+
+import threading
+import traceback
+from dataclasses import dataclass, field
+from typing import Callable, Optional
+
+from mvil_fusion_tpu.pipeline.channels import Channel, Closed, Policy
+
+
+@dataclass
+class Stage:
+    name: str
+    fn: Callable                  # item -> result | None (None = filtered)
+    inbox: Channel
+    outbox: Optional[Channel] = None
+    thread: Optional[threading.Thread] = None
+    processed: int = 0
+    errors: list = field(default_factory=list)
+
+
+class Pipeline:
+    def __init__(self, deterministic: bool = False):
+        self.stages: list[Stage] = []
+        self.deterministic = deterministic
+        self._running = False
+
+    def add_stage(self, name: str, fn, capacity: int = 16,
+                  policy: Policy = Policy.BLOCK) -> Channel:
+        """Append a stage; returns its inbox channel (feed it upstream).
+        The stage's output flows into the next stage's inbox."""
+        inbox = Channel(capacity=capacity, policy=policy)
+        st = Stage(name=name, fn=fn, inbox=inbox)
+        if self.stages:
+            self.stages[-1].outbox = inbox
+        self.stages.append(st)
+        return inbox
+
+    # ------------------------------------------------------------ threaded
+
+    def _worker(self, st: Stage):
+        while True:
+            try:
+                item = st.inbox.get()
+            except Closed:
+                if st.outbox is not None:
+                    st.outbox.close()
+                return
+            try:
+                res = st.fn(item)
+                st.processed += 1
+                if res is not None and st.outbox is not None:
+                    st.outbox.put(res)
+            except Exception:  # stage errors must not kill the pipeline
+                st.errors.append(traceback.format_exc())
+
+    def start(self):
+        assert not self.deterministic
+        self._running = True
+        for st in self.stages:
+            st.thread = threading.Thread(target=self._worker, args=(st,),
+                                         daemon=True, name=st.name)
+            st.thread.start()
+
+    def stop(self, timeout: float = 30.0):
+        if self.stages:
+            self.stages[0].inbox.close()
+        for st in self.stages:
+            if st.thread is not None:
+                st.thread.join(timeout)
+        self._running = False
+
+    # -------------------------------------------------------- deterministic
+
+    def drain(self):
+        """Deterministic single-thread drain: run every queued item through
+        the remaining stages in order."""
+        for i, st in enumerate(self.stages):
+            while len(st.inbox) > 0:
+                try:
+                    item = st.inbox.get(timeout=0.0)
+                except (Closed, TimeoutError):
+                    break
+                try:
+                    res = st.fn(item)
+                    st.processed += 1
+                    if res is not None and st.outbox is not None:
+                        st.outbox.put(res)
+                except Exception:
+                    st.errors.append(traceback.format_exc())
+
+    def feed(self, item):
+        self.stages[0].inbox.put(item)
+        if self.deterministic:
+            self.drain()

@@ -1,0 +1,169 @@
+"""Full VIL-SLAM system: one deterministic pipeline.
+
+Replaces the reference's six ROS processes + topic graph (SURVEY.md §1) with
+a single-process pipeline of jitted stages:
+
+  image  ──► FeatureTracker ──► VIOEstimator (window BA) ──► trajectory
+  imu    ───────────────────────────┤  ▲     │
+  lidar  ──► LidarCompensator ──────┘  │     ├─► deskewed cloud ─► DepthRegister
+                                       │     │        (lidar-aided feature depth)
+             LPS feedback ◄────────────┘     ├─► LOAM features ─► LocalMapper
+                                             │                        │ submaps
+             GlobalMapper ◄───────────────────────────────────────────┘
+                (pose graph + loops)  → /laser_localizer → estimator LPS
+
+Every cross-stage hop that was a serialized ROS message is now an in-process
+typed value; ordering is deterministic (sensor timestamps drive the calls).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from mvil_fusion_tpu.config import SystemConfig
+from mvil_fusion_tpu.estimator.vio import VIOEstimator
+from mvil_fusion_tpu.frontend.depth_register import DepthRegister
+from mvil_fusion_tpu.frontend.feature_tracker import FeatureTracker
+from mvil_fusion_tpu.frontend.lidar_compensator import LidarCompensator
+from mvil_fusion_tpu.mapping.global_mapping import GlobalMapper
+from mvil_fusion_tpu.mapping.local_mapping import LocalMapper
+from mvil_fusion_tpu.ops import loam_features as lfe
+from mvil_fusion_tpu.utils import lie
+
+_organize_jit = jax.jit(lfe.organize_grid,
+                        static_argnames=("n_rings", "n_azimuth",
+                                         "scan_period"))
+_extract_jit = jax.jit(lfe.extract,
+                       static_argnames=("n_subregions", "sharp_per_region",
+                                        "less_sharp_per_region",
+                                        "flat_per_region",
+                                        "curvature_threshold", "min_range"))
+
+GRID_AZ = 1024
+
+
+class VilSystem:
+    """Config 3/4 of BASELINE.json: indoor/outdoor full SLAM."""
+
+    def __init__(self, cfg: SystemConfig, use_tracker: bool = False,
+                 enable_mapping: bool = True):
+        self.cfg = cfg
+        self.estimator = VIOEstimator(cfg)
+        self.estimator.enable_lidar()
+        self.tracker = FeatureTracker(cfg) if use_tracker else None
+        self.compensator = LidarCompensator(cfg)
+        self.depth_register = DepthRegister(cfg)
+        self.local_mapper = LocalMapper(cfg) if enable_mapping else None
+        self.global_mapper = GlobalMapper(cfg) if enable_mapping else None
+        self.lidar_sweep_count = 0
+
+    # ----------------------------------------------------------- sensors
+
+    def process_imu(self, t: float, acc, gyr):
+        self.estimator.process_imu(t, acc, gyr)
+
+    def process_features(self, t: float, ids, norm, vel):
+        """Direct feature injection (when an external tracker is used)."""
+        depth = self._feature_depths(t, norm, np.ones(len(ids), bool))
+        self.estimator.process_features(t, ids, norm, vel, depth)
+
+    def process_image(self, t: float, img: np.ndarray):
+        assert self.tracker is not None, "system built without tracker"
+        frame = self.tracker.process(t, img)
+        if frame is None:
+            return
+        ids = frame.ids[frame.valid]
+        norm = frame.norm[frame.valid]
+        vel = frame.vel[frame.valid]
+        depth = self._feature_depths(t, norm, np.ones(len(ids), bool))
+        self.estimator.process_features(t, ids, norm, vel, depth)
+
+    def _feature_depths(self, t, norm, valid):
+        """LiDAR-aided feature depth (the reference's DepthRegister path,
+        feature_tracker_node.cpp:252-337)."""
+        if not self.depth_register.clouds:
+            return None
+        est = self.estimator
+        k = min(est.frame_count, est.W - 1)
+        p_b = np.asarray(est.state.p[k])
+        q_b = np.asarray(est.state.q[k])
+        # camera pose
+        q_c = np.asarray(lie.quat_mul(jnp.asarray(q_b),
+                                      jnp.asarray(est.state.qic)))
+        p_c = p_b + np.asarray(lie.quat_rotate(jnp.asarray(q_b),
+                                               jnp.asarray(est.state.tic)))
+        return self.depth_register.get_depth(t, norm, valid, p_c, q_c)
+
+    def process_lidar(self, t_start: float, pts: np.ndarray,
+                      valid: np.ndarray | None = None):
+        """One raw sweep through compensator → estimator → mapping."""
+        sweep = self.compensator.process(t_start, pts, valid)
+        self.lidar_sweep_count += 1
+        out = self.estimator.process_lidar(t_start, sweep.pts,
+                                           sweep.rel_time, sweep.mask)
+        if out is None:
+            return None
+
+        # deskewed world cloud → depth register (every 2nd sweep ≈ 5 Hz,
+        # feature_tracker_node.cpp:255)
+        if self.lidar_sweep_count % 2 == 0:
+            pts_l = np.asarray(out["pts"])[np.asarray(out["mask"])]
+            R = np.asarray(lie.quat_to_mat(jnp.asarray(out["q_l"])))
+            self.depth_register.add_cloud(out["t_end"],
+                                          pts_l @ R.T + out["p_l"])
+
+        if self.local_mapper is None:
+            return out
+
+        # LOAM features from the full deskewed cloud (scanRegistration
+        # re-ingests /vils_estimator/lidar_cloud)
+        lc = self.cfg.lidar
+        grid, occ = _organize_jit(out["full_pts"],
+                                  jnp.asarray(sweep.ring),
+                                  jnp.asarray(sweep.rel_time),
+                                  out["full_mask"],
+                                  n_rings=lc.n_rings, n_azimuth=GRID_AZ,
+                                  scan_period=lc.scan_period)
+        feats = _extract_jit(grid, occ)
+        sm = self.local_mapper.process(
+            out["t_end"], feats.sharp, feats.sharp_mask,
+            feats.less_flat, feats.less_flat_mask,
+            out["p_l"], out["q_l"])
+        if sm is not None and self.global_mapper is not None:
+            info = self.global_mapper.add_submap(sm)
+            # LPS feedback (the /laser_localizer → estimator loop)
+            self.estimator.process_lps(info["t"], info["p"], info["q"])
+        return out
+
+    # ------------------------------------------------------------ outputs
+
+    def frontend_trajectory(self):
+        return self.estimator.trajectory
+
+    def midend_trajectory(self):
+        return self.local_mapper.trajectory if self.local_mapper else []
+
+    def backend_trajectory(self):
+        return self.global_mapper.trajectory() if self.global_mapper else []
+
+    def save_results(self, prefix: str):
+        """Write Frontend/Midend/Backend.txt (TUM format) like the
+        reference's result files (SURVEY.md §4)."""
+        def dump(path, rows):
+            with open(path, "w") as f:
+                for row in rows:
+                    t, p, q = row[0], row[1], row[2]
+                    f.write(f"{t:.6f} {p[0]:.6f} {p[1]:.6f} {p[2]:.6f} "
+                            f"{q[1]:.6f} {q[2]:.6f} {q[3]:.6f} {q[0]:.6f}\n")
+
+        dump(prefix + "Frontend.txt",
+             [(t, p, q) for (t, p, q, *_) in self.estimator.trajectory])
+        if self.local_mapper:
+            dump(prefix + "Midend.txt", self.local_mapper.trajectory)
+        if self.global_mapper:
+            dump(prefix + "Backend.txt", self.global_mapper.trajectory())

@@ -1,0 +1,157 @@
+"""Checkpoint / resume for the full SLAM system.
+
+The reference has NO runtime persistence — the iSAM2 graph and map live
+only in memory and the result files are written in destructors
+(SURVEY.md §5, globalMappingIkdTree.cpp:118-131).  Here the whole system
+state — sliding window + marginalization prior + feature tracks + raw IMU
+buffers + rolling local map + pose graph + keyed scans — serializes to one
+file, so a crashed or migrated session resumes mid-run.
+
+Device arrays are stored as numpy and restored as jnp on load.
+"""
+
+from __future__ import annotations
+
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _to_host(tree):
+    """jax.Arrays pickle natively (restored on the default device on load),
+    so serialization is a plain passthrough; kept as a hook for future
+    cross-backend checkpoint portability."""
+    return tree
+
+
+def _to_device(tree):
+    return tree
+
+
+def save_system(system, path: str):
+    """Serialize a VilSystem (or bare VIOEstimator) to `path`."""
+    est = system.estimator if hasattr(system, "estimator") else system
+    blob = {
+        "estimator": {
+            "status": est.status,
+            "frame_count": est.frame_count,
+            "times": est.times,
+            "tracks": est.tracks,
+            "slots": est.slots,
+            "intervals": est.intervals,
+            "pending": est._pending,
+            "marg_old": est.marg_old,
+            "state": _to_host(est.state),
+            "prior": _to_host(est.prior),
+            "failures": est.failures,
+            "trajectory": est.trajectory,
+            "lps_list": est.lps_list,
+        }
+    }
+    if est.lidar is not None:
+        lf = est.lidar
+        blob["lidar"] = {
+            "rlb": lf.rlb, "tlb": lf.tlb, "q_lb": lf.q_lb,
+            "constraints": lf.constraints,
+            "first_zv": lf.first_zv, "zv_pose": lf.zv_pose,
+            "calibrated": lf.calibrated,
+            "prev": _to_host(lf.prev) if lf.prev is not None else None,
+        }
+    if hasattr(system, "local_mapper") and system.local_mapper is not None:
+        lm = system.local_mapper
+        blob["local"] = _to_host({
+            "corner_map": lm.corner_map, "corner_mask": lm.corner_mask,
+            "surf_map": lm.surf_map, "surf_mask": lm.surf_mask,
+            "p_corr": lm.p_corr, "q_corr": lm.q_corr,
+            "initialized": lm.initialized,
+            "accum_pts": lm.accum_pts,
+            "accum_start_pose": lm.accum_start_pose,
+            "frames_since_submap": lm.frames_since_submap,
+            "trajectory": lm.trajectory,
+            "submaps_emitted": lm.submaps_emitted,
+        })
+    if hasattr(system, "global_mapper") and system.global_mapper is not None:
+        gm = system.global_mapper
+        blob["global"] = {
+            "graph": _to_host(gm.graph),
+            "n_nodes": gm.n_nodes, "n_edges": gm.n_edges, "n_z": gm.n_z,
+            "scans": gm.scans, "scan_masks": gm.scan_masks,
+            "times": gm.times, "floor_ids": gm.floor_ids,
+            "last_odom": gm.last_odom, "loops_closed": gm.loops_closed,
+            "loop_pairs": gm.loop_pairs,
+            "sc_desc": gm.sc_desc, "sc_keys": gm.sc_keys,
+            "since_last_close": gm._since_last_close,
+        }
+    if hasattr(system, "lidar_sweep_count"):
+        blob["system"] = {
+            "lidar_sweep_count": system.lidar_sweep_count,
+            "depth_clouds": system.depth_register.clouds
+            if hasattr(system, "depth_register") else [],
+        }
+    with open(path, "wb") as f:
+        pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
+
+
+def load_system(system, path: str):
+    """Restore state saved by save_system into a freshly constructed
+    system of the same configuration."""
+    with open(path, "rb") as f:
+        blob = pickle.load(f)
+    est = system.estimator if hasattr(system, "estimator") else system
+    e = blob["estimator"]
+    est.status = e["status"]
+    est.frame_count = e["frame_count"]
+    est.times = e["times"]
+    est.tracks = e["tracks"]
+    est.slots = e["slots"]
+    est.intervals = e["intervals"]
+    est._pending = e["pending"]
+    est.marg_old = e["marg_old"]
+    est.state = _to_device(e["state"])
+    est.prior = _to_device(e["prior"])
+    est.failures = e["failures"]
+    est.trajectory = e["trajectory"]
+    est.lps_list = e["lps_list"]
+    if "lidar" in blob:
+        est.enable_lidar()
+        lf = est.lidar
+        L = blob["lidar"]
+        lf.rlb, lf.tlb, lf.q_lb = L["rlb"], L["tlb"], L["q_lb"]
+        lf.constraints = L["constraints"]
+        lf.first_zv = L["first_zv"]
+        lf.zv_pose = L["zv_pose"]
+        lf.calibrated = L["calibrated"]
+        lf.prev = _to_device(L["prev"]) if L["prev"] is not None else None
+    if "local" in blob and hasattr(system, "local_mapper") \
+            and system.local_mapper is not None:
+        lm = system.local_mapper
+        L = _to_device(blob["local"])
+        lm.corner_map, lm.corner_mask = L["corner_map"], L["corner_mask"]
+        lm.surf_map, lm.surf_mask = L["surf_map"], L["surf_mask"]
+        lm.p_corr, lm.q_corr = np.asarray(L["p_corr"]), np.asarray(L["q_corr"])
+        lm.initialized = L["initialized"]
+        lm.accum_pts = [np.asarray(x) for x in L["accum_pts"]]
+        lm.accum_start_pose = L["accum_start_pose"]
+        lm.frames_since_submap = L["frames_since_submap"]
+        lm.trajectory = L["trajectory"]
+        lm.submaps_emitted = L["submaps_emitted"]
+    if "global" in blob and hasattr(system, "global_mapper") \
+            and system.global_mapper is not None:
+        gm = system.global_mapper
+        G = blob["global"]
+        gm.graph = _to_device(G["graph"])
+        gm.n_nodes, gm.n_edges, gm.n_z = G["n_nodes"], G["n_edges"], G["n_z"]
+        gm.scans, gm.scan_masks = G["scans"], G["scan_masks"]
+        gm.times, gm.floor_ids = G["times"], G["floor_ids"]
+        gm.last_odom = G["last_odom"]
+        gm.loops_closed = G["loops_closed"]
+        gm.loop_pairs = G["loop_pairs"]
+        gm.sc_desc, gm.sc_keys = G["sc_desc"], G["sc_keys"]
+        gm._since_last_close = G["since_last_close"]
+    if "system" in blob and hasattr(system, "lidar_sweep_count"):
+        system.lidar_sweep_count = blob["system"]["lidar_sweep_count"]
+        if hasattr(system, "depth_register"):
+            system.depth_register.clouds = blob["system"]["depth_clouds"]
+    return system
