@@ -49,6 +49,62 @@ def _extras_jit(s, icp_tab, lps_tab, zero_vel):
             jnp.concatenate([r1, r2, r3], axis=0))
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("focal", "iters", "marg_old"))
+def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
+                    prior, gravity, noise_cov, icp_tab, lps_tab, zero_vel,
+                    focal, iters, marg_old):
+    """The WHOLE per-frame device program, fused into one XLA executable:
+    preintegration → triangulation of new landmarks → extras → window BA →
+    failure metrics → marginalization.  One dispatch, one readback — the
+    host only does bookkeeping between frames."""
+    preints = pre.preintegrate_batch(accs, gyrs, dts,
+                                     state.ba[:-1], state.bg[:-1],
+                                     noise_cov, imu_masks)
+    imask = imu_masks.any(axis=1)
+
+    p_wc, q_wc = tri.camera_poses_from_body(state.p, state.q,
+                                            state.tic, state.qic)
+    inv_d, good = tri.triangulate_window(p_wc, q_wc, feats.obs, feats.mask,
+                                         feats.start)
+    upd = good & need_depth
+    state = state._replace(inv_depth=jnp.where(upd, inv_d,
+                                               state.inv_depth))
+
+    eJ, er = _extras_body(state, icp_tab, lps_tab, zero_vel)
+    prob = ba.BAProblem(
+        feats=feats, preints=preints, interval_mask=imask, prior=prior,
+        gravity=gravity, anchor_ref=state, extra_J=eJ, extra_r=er,
+        extra_x0=state)
+    res = ba.solve(state, prob, focal, iters=iters)
+    s_new = res.state
+
+    prev_p = state.p[-1]
+    metrics = jnp.stack([
+        jnp.linalg.norm(s_new.ba[-1]),
+        jnp.linalg.norm(s_new.bg[-1]),
+        jnp.linalg.norm(s_new.p[-1] - prev_p),
+        jnp.abs(s_new.p[-1, 2] - prev_p[2]),
+        jnp.isfinite(jnp.sum(s_new.p)).astype(jnp.float32),
+    ])
+
+    if marg_old:
+        prior_new = ba.marginalize_old(s_new, prob, focal)
+    else:
+        prior_new = ba.marginalize_second_new(s_new, prob)
+    return s_new, prior_new, metrics, res.cost1
+
+
+def _extras_body(s, icp_tab, lps_tab, zero_vel):
+    J1, r1 = lfac.icp_system(s, icp_tab)
+    J2, r2 = lfac.lps_system(s, lps_tab)
+    J3, r3 = lfac.zero_velocity_system(s, zero_vel)
+    return (jnp.concatenate([J1, J2, J3], axis=0),
+            jnp.concatenate([r1, r2, r3], axis=0))
+
+
 @dataclass
 class Obs:
     norm: np.ndarray        # (2,)
@@ -95,6 +151,7 @@ class VIOEstimator:
         self._pending = ImuInterval()
         self.last_imu: Optional[tuple] = None
         self.marg_old = True
+        self._prior_valid = False
 
         W, F = self.W, self.F
         self.state = st.make_window_state(W, F)
@@ -270,7 +327,8 @@ class VIOEstimator:
 
     # ------------------------------------------------------- device tables
 
-    def _preintegrate_all(self):
+    def _imu_buffers(self):
+        """Padded per-interval raw IMU buffers as device arrays."""
         W = self.W
         accs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
         gyrs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
@@ -286,12 +344,16 @@ class VIOEstimator:
             tarr = np.asarray(iv.t[:n])
             dts[kk, :n - 1] = np.diff(tarr)
             masks[kk, :n] = True
+        return (jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
+                jnp.asarray(masks))
+
+    def _preintegrate_all(self):
+        accs, gyrs, dts, masks = self._imu_buffers()
         imask = masks.any(axis=1)
         preints = _preint_batch_jit(
-            jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
-            self.state.ba[:-1], self.state.bg[:-1],
-            self.noise_cov, jnp.asarray(masks))
-        return preints, jnp.asarray(imask)
+            accs, gyrs, dts, self.state.ba[:-1], self.state.bg[:-1],
+            self.noise_cov, masks)
+        return preints, imask
 
     def _assign_slots(self):
         """Stable slot assignment for features usable in BA."""
@@ -502,60 +564,55 @@ class VIOEstimator:
         e = self.cfg.estimator
         self._assign_slots()
         feats = self._build_features()
-        self._triangulate_new(feats)
-        feats = self._build_features()
-        preints, imask = self._preintegrate_all()
+        need_depth = np.asarray([
+            (self.slots[s] is not None
+             and self.tracks[self.slots[s]].inv_depth <= 0
+             and not self.tracks[self.slots[s]].depth_fixed)
+            for s in range(self.F)])
+
+        accs, gyrs, dts, imu_masks = self._imu_buffers()
         if self.lidar is not None:
             icp_tab, zero_vel = self.lidar.build_constraints(self.times[:W])
             lps_tab = self._build_lps_table()
-            eJ, er = _extras_jit(self.state, icp_tab, lps_tab,
-                                 jnp.asarray(zero_vel))
         else:
-            eJ, er = ba.empty_extra(W, 0)
-        prob = ba.BAProblem(
-            feats=feats, preints=preints, interval_mask=imask,
-            prior=self.prior, gravity=self.gravity,
-            anchor_ref=self.state, extra_J=eJ, extra_r=er,
-            extra_x0=self.state)
-        res = _solve_jit(self.state, prob, focal=e.focal_length,
-                         iters=e.max_solver_iters)
-        new_state = res.state
-        if self._failure_detection(new_state):
+            icp_tab, zero_vel = lfac.empty_icp(), False
+            lps_tab = lfac.empty_lps()
+
+        prior_valid_host = bool(self._prior_valid)
+        s_new, prior_new, metrics, cost1 = _frame_step_jit(
+            self.state, feats, jnp.asarray(need_depth),
+            accs, gyrs, dts, imu_masks,
+            self.prior, self.gravity, self.noise_cov,
+            icp_tab, lps_tab, jnp.asarray(zero_vel),
+            focal=e.focal_length, iters=e.max_solver_iters,
+            marg_old=self.marg_old)
+
+        # ONE coalesced host readback for everything the host needs
+        m_h, c_h, p_h, q_h, v_h, inv_h = jax.device_get(
+            (metrics, cost1, s_new.p[W - 1], s_new.q[W - 1],
+             s_new.v[W - 1], s_new.inv_depth))
+        ban, bgn, dp, dz, finite = m_h
+        if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
+                or dp > e.fail_trans_jump or dz > e.fail_z_jump):
             self._reboot()
             return
-        self.state = new_state
-        self.solve_info["cost"] = float(res.cost1)
-        # write back landmark depths to tracks
-        inv_d = np.asarray(self.state.inv_depth)
+
+        self.state = s_new
+        self.solve_info["cost"] = float(c_h)
         for s, fid in enumerate(self.slots):
             if fid is not None and not self.tracks[fid].depth_fixed:
-                self.tracks[fid].inv_depth = float(inv_d[s])
-        # log newest pose
-        self.trajectory.append((self.times[-1],
-                                np.asarray(self.state.p[W - 1]),
-                                np.asarray(self.state.q[W - 1]),
-                                np.asarray(self.state.v[W - 1])))
+                self.tracks[fid].inv_depth = float(inv_h[s])
+        self.trajectory.append((self.times[-1], p_h, q_h, v_h))
 
-        # marginalize + slide
+        # marginalize + slide (the prior was computed inside the fused step)
         if self.marg_old:
-            self.prior = _marg_old_jit(self.state, prob,
-                                       focal=e.focal_length)
+            self.prior = prior_new
+            self._prior_valid = True
             self._slide(old=True)
         else:
-            if bool(self.prior.valid):
-                self.prior = _marg_new_jit(self.state, prob)
+            if prior_valid_host:
+                self.prior = prior_new
             self._slide(old=False)
-
-    def _failure_detection(self, s_new: st.WindowState) -> bool:
-        e = self.cfg.estimator
-        ban = float(jnp.linalg.norm(s_new.ba[-1]))
-        bgn = float(jnp.linalg.norm(s_new.bg[-1]))
-        dp = float(jnp.linalg.norm(s_new.p[-1] - self.state.p[-1]))
-        dz = abs(float(s_new.p[-1, 2] - self.state.p[-1, 2]))
-        if not np.isfinite(float(jnp.sum(s_new.p))):
-            return True
-        return (ban > e.fail_ba_norm or bgn > e.fail_bg_norm
-                or dp > e.fail_trans_jump or dz > e.fail_z_jump)
 
     def _reboot(self):
         """clearState + setParameter (reference estimator.cpp:588-597)."""
