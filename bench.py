@@ -53,13 +53,16 @@ def main():
         accs[k, :n], gyrs[k, :n], dts[k, :n] = acc, gyr, dt
         masks[k, :n] = True
 
+    from mvil_fusion_tpu.estimator import ba
+
     noise_cov = pre.noise_covariance(0.02, 0.005, 0.006, 0.0008)
     prior = fac.empty_prior(W, F)
     args = (s0, feats, jnp.zeros((F,), bool),
             jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
             jnp.asarray(masks), prior,
             jnp.asarray([0.0, 0.0, 9.795], jnp.float32), noise_cov,
-            lfac.empty_icp(), lfac.empty_lps(), jnp.asarray(False))
+            lfac.empty_icp(), lfac.empty_lps(), jnp.asarray(False),
+            ba.make_fix_mask(W))
     kwargs = dict(focal=460.0, iters=8, marg_old=True)
 
     out = vio._frame_step_jit(*args, **kwargs)

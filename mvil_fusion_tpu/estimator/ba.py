@@ -21,6 +21,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from mvil_fusion_tpu.estimator import factors as fac
 from mvil_fusion_tpu.estimator import state as st
@@ -52,11 +53,24 @@ class BAProblem(NamedTuple):
     extra_J: jnp.ndarray            # (E, D)
     extra_r: jnp.ndarray            # (E,)
     extra_x0: st.WindowState
+    # (D,) bool — True freezes that local dim (the reference's
+    # SetParameterBlockConstant for extrinsics/td, estimator.cpp:1161-1169)
+    fix_mask: jnp.ndarray
 
 
 def empty_extra(w: int, e: int = 0, dtype=jnp.float32):
     D = st.pose_dim(w)
     return jnp.zeros((e, D), dtype), jnp.zeros((e,), dtype)
+
+
+def make_fix_mask(w: int, fix_ext: bool = False, fix_td: bool = False):
+    D = st.pose_dim(w)
+    m = np.zeros(D, bool)
+    if fix_ext:
+        m[st.ext_offset(w):st.ext_offset(w) + 6] = True
+    if fix_td:
+        m[st.td_offset(w)] = True
+    return jnp.asarray(m)
 
 
 def _lam_free_mask(f: st.Features) -> jnp.ndarray:
@@ -146,6 +160,12 @@ def solve(s0: st.WindowState, prob: BAProblem, focal: float,
         inv_ll = 1.0 / Hll_d
         S = Hd - (a.H_pl * inv_ll[None, :]) @ a.H_pl.T
         rhs = a.g_p - a.H_pl @ (a.g_l * inv_ll)
+        # frozen dims (extrinsics/td when not estimated — the reference's
+        # SetParameterBlockConstant): identity row/col, zero rhs → δ = 0
+        fm = prob.fix_mask
+        S = jnp.where(fm[:, None] | fm[None, :], 0.0, S)
+        S = S + jnp.diag(fm.astype(dtype))
+        rhs = jnp.where(fm, 0.0, rhs)
         L, lower = jax.scipy.linalg.cho_factor(
             S + jitter * jnp.eye(D, dtype=dtype), lower=True)
         dx = jax.scipy.linalg.cho_solve((L, lower), rhs)

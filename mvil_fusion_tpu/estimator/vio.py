@@ -30,24 +30,10 @@ from mvil_fusion_tpu.utils import lie
 
 IMU_NMAX = 256          # per-interval raw-sample capacity (merge-safe)
 
-# jitted entry points (the orchestration below calls these every frame; an
-# unjitted call would re-trace op-by-op and cost seconds per frame)
-_solve_jit = jax.jit(ba.solve, static_argnames=("focal", "iters"))
-_marg_old_jit = jax.jit(ba.marginalize_old, static_argnames=("focal",))
-_marg_new_jit = jax.jit(ba.marginalize_second_new)
+# jitted entry points used by the (rare) initialization path; the steady
+# state runs entirely through _frame_step_jit below
 _preint_batch_jit = jax.jit(pre.preintegrate_batch)
 _triangulate_jit = jax.jit(tri.triangulate_window)
-
-
-@jax.jit
-def _extras_jit(s, icp_tab, lps_tab, zero_vel):
-    """Stack all LiDAR/LPS/zero-velocity rows for BAProblem.extra."""
-    J1, r1 = lfac.icp_system(s, icp_tab)
-    J2, r2 = lfac.lps_system(s, lps_tab)
-    J3, r3 = lfac.zero_velocity_system(s, zero_vel)
-    return (jnp.concatenate([J1, J2, J3], axis=0),
-            jnp.concatenate([r1, r2, r3], axis=0))
-
 
 from functools import partial as _partial
 
@@ -55,7 +41,7 @@ from functools import partial as _partial
 @_partial(jax.jit, static_argnames=("focal", "iters", "marg_old"))
 def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
                     prior, gravity, noise_cov, icp_tab, lps_tab, zero_vel,
-                    focal, iters, marg_old):
+                    fix_mask, focal, iters, marg_old):
     """The WHOLE per-frame device program, fused into one XLA executable:
     preintegration → triangulation of new landmarks → extras → window BA →
     failure metrics → marginalization.  One dispatch, one readback — the
@@ -77,7 +63,7 @@ def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
     prob = ba.BAProblem(
         feats=feats, preints=preints, interval_mask=imask, prior=prior,
         gravity=gravity, anchor_ref=state, extra_J=eJ, extra_r=er,
-        extra_x0=state)
+        extra_x0=state, fix_mask=fix_mask)
     res = ba.solve(state, prob, focal, iters=iters)
     s_new = res.state
 
@@ -165,6 +151,9 @@ class VIOEstimator:
         self.noise_cov = pre.noise_covariance(
             cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w)
         self._key = jax.random.PRNGKey(7)
+        self._fix_mask = ba.make_fix_mask(
+            W, fix_ext=(e.estimate_extrinsic == 0),
+            fix_td=not e.estimate_td)
         self.failures = 0
         self.solve_info: dict = {}
         # trajectory log (world frame) — the engine's Frontend.txt
@@ -241,7 +230,14 @@ class VIOEstimator:
 
     def process_features(self, t: float, ids: np.ndarray, norm: np.ndarray,
                          vel: np.ndarray, depth: np.ndarray | None = None):
-        """One feature frame (the estimator-side of the 'feature' topic)."""
+        """One feature frame (the estimator-side of the 'feature' topic).
+
+        The frame is paired with IMU at stamp + current td estimate — the
+        reference's td-aware getMeasurements (estimator_node.cpp:145-223) —
+        so the projection factor's velocity term only compensates the small
+        residual (td − td_at_pairing)."""
+        td_now = float(np.asarray(self.state.td))
+        t = t + td_now
         k = self.frame_count
         if depth is None:
             depth = np.full(len(ids), -1.0, np.float32)
@@ -256,7 +252,7 @@ class VIOEstimator:
                 self.tracks[fid] = tr
             tr.obs[k] = Obs(norm=norm[i].astype(np.float32),
                             vel=vel[i].astype(np.float32),
-                            td_ref=float(np.asarray(self.state.td)),
+                            td_ref=td_now,
                             depth=float(depth[i]))
             if depth[i] > 0 and not tr.depth_fixed:
                 # adopt lidar depth at the start observation
@@ -583,7 +579,7 @@ class VIOEstimator:
             self.state, feats, jnp.asarray(need_depth),
             accs, gyrs, dts, imu_masks,
             self.prior, self.gravity, self.noise_cov,
-            icp_tab, lps_tab, jnp.asarray(zero_vel),
+            icp_tab, lps_tab, jnp.asarray(zero_vel), self._fix_mask,
             focal=e.focal_length, iters=e.max_solver_iters,
             marg_old=self.marg_old)
 
@@ -697,6 +693,32 @@ class VIOEstimator:
             self.slots[tr.slot] = None
 
     # --------------------------------------------------------------- output
+
+    def predict_latest(self):
+        """IMU-rate pose prediction: propagate the newest window state
+        through the not-yet-consumed IMU samples (the reference's
+        low-latency `predict`/`update` path, estimator_node.cpp:52-105).
+
+        Returns (t, p, q, v) at the last IMU sample."""
+        k = min(self.frame_count, self.W - 1)
+        p = self.state.p[k]
+        q = self.state.q[k]
+        v = self.state.v[k]
+        ba = self.state.ba[k]
+        bg = self.state.bg[k]
+        iv = self._pending
+        t = self.times[-1] if self.times else 0.0
+        for i in range(1, len(iv.t)):
+            dt = iv.t[i] - iv.t[i - 1]
+            if dt <= 0:
+                continue
+            p, q, v = pre.propagate_state(
+                p, q, v, ba, bg,
+                jnp.asarray(iv.acc[i - 1]), jnp.asarray(iv.gyr[i - 1]),
+                jnp.asarray(iv.acc[i]), jnp.asarray(iv.gyr[i]),
+                dt, self.gravity)
+            t = iv.t[i]
+        return t, np.asarray(p), np.asarray(q), np.asarray(v)
 
     def latest_pose(self):
         k = min(self.frame_count, self.W - 1)

@@ -152,6 +152,63 @@ class Equidistant(NamedTuple):
         return xd * scale[..., None]
 
 
+class Scaramuzza(NamedTuple):
+    """Scaramuzza omnidirectional polynomial model (reference
+    ScaramuzzaCamera.cc).  z = poly(ρ) with ρ the image-plane radius;
+    projection inverts the polynomial with damped Newton (static trip count)
+    instead of requiring fitted inverse-poly coefficients."""
+
+    cx: float
+    cy: float
+    poly: tuple            # (a0, a1, a2, ...) — z = Σ a_k ρ^k
+    c: float = 1.0         # affine [c d; e 1]
+    d: float = 0.0
+    e: float = 0.0
+
+    def _poly(self, rho):
+        z = jnp.zeros_like(rho)
+        for k, a in enumerate(self.poly):
+            z = z + a * rho ** k
+        return z
+
+    def _dpoly(self, rho):
+        z = jnp.zeros_like(rho)
+        for k, a in enumerate(self.poly):
+            if k >= 1:
+                z = z + k * a * rho ** (k - 1)
+        return z
+
+    def lift_projective(self, uv):
+        mx = uv[..., 0] - self.cx
+        my = uv[..., 1] - self.cy
+        inv_det = 1.0 / (self.c - self.d * self.e)
+        x = inv_det * (mx - self.d * my)
+        y = inv_det * (-self.e * mx + self.c * my)
+        rho = jnp.sqrt(x * x + y * y)
+        z = self._poly(rho)
+        # normalized plane coords (z forward; Scaramuzza's poly gives -z for
+        # forward points — flip to the camera convention)
+        safe = jnp.where(jnp.abs(z) < 1e-9, 1e-9, z)
+        return jnp.stack([x / -safe, y / -safe], axis=-1)
+
+    def space_to_plane(self, pts, iters: int = 12):
+        x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
+        r_xy = jnp.sqrt(x * x + y * y)
+        safe_rxy = jnp.maximum(r_xy, 1e-9)
+        # solve poly(ρ)·r_xy = -z·ρ for ρ (Newton)
+        rho = jnp.full_like(r_xy, 1.0)
+        for _ in range(iters):
+            f = self._poly(rho) * safe_rxy + z * rho
+            fp = self._dpoly(rho) * safe_rxy + z
+            fp = jnp.where(jnp.abs(fp) < 1e-9, 1e-9, fp)
+            rho = jnp.clip(rho - f / fp, 0.0, 1e4)
+        xi = x / safe_rxy * rho
+        yi = y / safe_rxy * rho
+        u = self.c * xi + self.d * yi + self.cx
+        v = self.e * xi + yi + self.cy
+        return jnp.stack([u, v], axis=-1)
+
+
 def from_config(cfg) -> PinholeRadtan:
     """Build the camera from a CameraConfig (pinhole path of the factory,
     reference CameraFactory.cc)."""

@@ -123,6 +123,10 @@ def make_sharded_solver(mesh: Mesh, focal: float, iters: int = 8,
             rhs_part = a.H_pl @ (a.g_l * inv_ll)
             S = Hd - jax.lax.psum(S_part, axis)
             rhs = a.g_p - jax.lax.psum(rhs_part, axis)
+            fm = prob.fix_mask
+            S = jnp.where(fm[:, None] | fm[None, :], 0.0, S)
+            S = S + jnp.diag(fm.astype(dtype))
+            rhs = jnp.where(fm, 0.0, rhs)
             L, lower = jax.scipy.linalg.cho_factor(
                 S + jitter * jnp.eye(D, dtype=dtype), lower=True)
             dx = jax.scipy.linalg.cho_solve((L, lower), rhs)
@@ -152,7 +156,7 @@ def make_sharded_solver(mesh: Mesh, focal: float, iters: int = 8,
         gravity=P(),
         anchor_ref=sspec._replace(inv_depth=P()),
         extra_J=P(), extra_r=P(),
-        extra_x0=sspec._replace(inv_depth=P()))
+        extra_x0=sspec._replace(inv_depth=P()), fix_mask=P())
     out_spec = ba.SolveResult(state=sspec, cost0=P(), cost1=P(),
                               n_accepted=P())
 
@@ -176,7 +180,7 @@ def shard_problem(mesh: Mesh, s: st.WindowState, prob: ba.BAProblem,
         gravity=P(),
         anchor_ref=sspec._replace(inv_depth=P()),
         extra_J=P(), extra_r=P(),
-        extra_x0=sspec._replace(inv_depth=P()))
+        extra_x0=sspec._replace(inv_depth=P()), fix_mask=P())
 
     def put(tree, specs):
         return jax.tree.map(

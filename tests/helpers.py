@@ -114,7 +114,8 @@ def make_problem(s_anchor, feats, preints, interval_mask, g_norm=9.795,
         feats=feats, preints=preints, interval_mask=interval_mask,
         prior=fac.empty_prior(W, F),
         gravity=jnp.asarray([0.0, 0.0, g_norm], jnp.float32),
-        anchor_ref=s_anchor, extra_J=eJ, extra_r=er, extra_x0=s_anchor)
+        anchor_ref=s_anchor, extra_J=eJ, extra_r=er, extra_x0=s_anchor,
+        fix_mask=ba.make_fix_mask(W))
 
 
 def perturb_state(s, rng, dp=0.05, dth=0.02, dv=0.05, dbias=0.005,

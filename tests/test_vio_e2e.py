@@ -85,10 +85,11 @@ def run_sequence(world, cfg, t0=0.5, t_end=12.0, frame_hz=10.0,
 def align_umeyama_4dof(est_traj, gt):
     """Yaw+translation alignment (mono-VIO gauge freedom)."""
     t_est = np.asarray([p for (_, p, _, _) in est_traj])
-    idx = {round(t, 6): k for k, (t, _, _, _) in enumerate(gt)}
+    gt_times = np.asarray([t for (t, *_), in zip(gt)])
     t_gt = []
     for (t, _, _, _) in est_traj:
-        t_gt.append(gt[idx[round(t, 6)]][1])
+        k = int(np.argmin(np.abs(gt_times - t)))   # td-shifted stamps OK
+        t_gt.append(gt[k][1])
     t_gt = np.asarray(t_gt)
     # fit yaw + translation
     c_est = t_est - t_est.mean(0)
