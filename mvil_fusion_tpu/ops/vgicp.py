@@ -25,6 +25,29 @@ from mvil_fusion_tpu.utils import lie
 from mvil_fusion_tpu.utils.precision import full_precision
 
 
+def _inv3(C: jnp.ndarray, eps: float = 1e-6) -> jnp.ndarray:
+    """Closed-form batched symmetric 3x3 inverse (adjugate/det) — far
+    faster than jnp.linalg.inv for (N,3,3) on TPU."""
+    C = C + eps * jnp.eye(3, dtype=C.dtype)
+    a, b, c = C[..., 0, 0], C[..., 0, 1], C[..., 0, 2]
+    d, e = C[..., 1, 1], C[..., 1, 2]
+    f = C[..., 2, 2]
+    A = d * f - e * e
+    B = c * e - b * f
+    Cc = b * e - c * d
+    D = a * f - c * c
+    E = b * c - a * e
+    F = a * d - b * b
+    det = a * A + b * B + c * Cc
+    det = jnp.where(jnp.abs(det) < 1e-20, 1e-20, det)
+    inv = jnp.stack([
+        jnp.stack([A, B, Cc], -1),
+        jnp.stack([B, D, E], -1),
+        jnp.stack([Cc, E, F], -1),
+    ], -2)
+    return inv / det[..., None, None]
+
+
 class VgicpResult(NamedTuple):
     p: jnp.ndarray         # (3,) translation target←source
     q: jnp.ndarray         # (4,) rotation
@@ -61,7 +84,7 @@ def vgicp_align(src: jnp.ndarray, src_mask: jnp.ndarray,
 
         # fused covariance: C = cov_t + R cov_s Rᵀ; weight W = C⁻¹
         C = cov_t + jnp.einsum("ij,njk,lk->nil", R, cov_s, R)
-        W = jnp.linalg.inv(C + 1e-6 * jnp.eye(3, dtype=dtype))
+        W = _inv3(C)
 
         # residual r = ts − mean_t; J wrt [δθ (right), δp]:
         # ∂r/∂δθ = −R [src]× ; ∂r/∂δp = I

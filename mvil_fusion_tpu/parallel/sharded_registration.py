@@ -16,7 +16,7 @@ from jax import shard_map
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from mvil_fusion_tpu.ops import voxel
-from mvil_fusion_tpu.ops.vgicp import VgicpResult
+from mvil_fusion_tpu.ops.vgicp import VgicpResult, _inv3
 from mvil_fusion_tpu.utils import lie
 from mvil_fusion_tpu.utils.precision import full_precision
 
@@ -48,7 +48,7 @@ def make_sharded_vgicp(mesh: Mesh, iters: int = 12,
             ok = (w_valid & hit_t
                   & (dist2 < max_corr_dist * max_corr_dist)).astype(dtype)
             C = cov_t + jnp.einsum("ij,njk,lk->nil", R, cov_s, R)
-            W = jnp.linalg.inv(C + 1e-6 * jnp.eye(3, dtype=dtype))
+            W = _inv3(C)
             Jr = -jnp.einsum("ij,njk->nik", R, lie.skew(src))
             J = jnp.concatenate([Jr, jnp.broadcast_to(
                 jnp.eye(3, dtype=dtype), (n, 3, 3))], axis=-1)
