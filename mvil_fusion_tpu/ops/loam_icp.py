@@ -19,6 +19,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mvil_fusion_tpu.ops.voxel import sym3_eigvals, sym3_eigvec
 from mvil_fusion_tpu.utils import lie
 from mvil_fusion_tpu.utils.precision import full_precision
 
@@ -69,9 +70,9 @@ def find_correspondences(corner_src, corner_mask, surf_src, surf_mask,
     ctr = jnp.mean(nbr, axis=1, keepdims=True)
     dc = nbr - ctr
     cov = jnp.einsum("nki,nkj->nij", dc, dc) / k_edge
-    evals, evecs = jnp.linalg.eigh(cov)                      # ascending
-    dir_ = evecs[..., 2]                                     # main axis
-    line_like = evals[..., 2] > 3.0 * evals[..., 1]
+    lam0, lam1, lam2 = sym3_eigvals(cov)                 # closed form
+    dir_ = sym3_eigvec(cov, lam0, lam1, [1.0, 0.0, 0.0])  # main axis
+    line_like = lam2 > 3.0 * lam1
     a = ctr[:, 0, :] + 0.1 * dir_
     b = ctr[:, 0, :] - 0.1 * dir_
     edge_ok = corner_mask & near_ok & line_like & jnp.isfinite(ed2[:, -1])
@@ -103,8 +104,8 @@ def find_correspondences(corner_src, corner_mask, surf_src, surf_mask,
     sctr = jnp.mean(snbr, axis=1, keepdims=True)
     sdc = snbr - sctr
     scov = jnp.einsum("nki,nkj->nij", sdc, sdc) / k_surf
-    sevals = jnp.linalg.eigvalsh(scov)
-    planar = sevals[..., 1] > jnp.maximum(10.0 * sevals[..., 0], 1e-4)
+    slam0, slam1, _ = sym3_eigvals(scov)                 # closed form
+    planar = slam1 > jnp.maximum(10.0 * slam0, 1e-4)
     plane_ok = (surf_mask & snear & plane_fit_ok & planar & finite_n
                 & jnp.isfinite(sd2[:, -1]))
 

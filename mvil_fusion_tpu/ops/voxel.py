@@ -19,36 +19,50 @@ import jax.numpy as jnp
 _P1, _P2, _P3 = 73856093, 19349663, 83492791
 
 
-def _smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:
-    """Unit eigenvector of the smallest eigenvalue of batched symmetric 3x3
-    matrices, closed form: Cardano for λ₀ ≤ λ₁ ≤ λ₂, then any column of
-    (A−λ₁I)(A−λ₂I) ∝ v₀ (Cayley-Hamilton).  Degenerate spectra fall back
-    to ẑ (the regularized covariance is still valid there)."""
+def sym3_eigvals(A: jnp.ndarray):
+    """Cardano closed-form eigenvalues of batched symmetric 3x3 matrices:
+    (λ₀ ≤ λ₁ ≤ λ₂).  Orders of magnitude faster than batched LAPACK on
+    large tables; used for voxel plane regularization and LOAM geometry
+    gates."""
     dtype = A.dtype
     q = jnp.trace(A, axis1=-2, axis2=-1) / 3.0
-    B = A - q[:, None, None] * jnp.eye(3, dtype=dtype)
+    B = A - q[..., None, None] * jnp.eye(3, dtype=dtype)
     p2 = jnp.sum(B * B, axis=(-2, -1)) / 6.0
     p = jnp.sqrt(jnp.maximum(p2, 1e-30))
-    detB = (B[:, 0, 0] * (B[:, 1, 1] * B[:, 2, 2] - B[:, 1, 2] * B[:, 2, 1])
-            - B[:, 0, 1] * (B[:, 1, 0] * B[:, 2, 2] - B[:, 1, 2] * B[:, 2, 0])
-            + B[:, 0, 2] * (B[:, 1, 0] * B[:, 2, 1] - B[:, 1, 1] * B[:, 2, 0]))
+    detB = (B[..., 0, 0] * (B[..., 1, 1] * B[..., 2, 2]
+                            - B[..., 1, 2] * B[..., 2, 1])
+            - B[..., 0, 1] * (B[..., 1, 0] * B[..., 2, 2]
+                              - B[..., 1, 2] * B[..., 2, 0])
+            + B[..., 0, 2] * (B[..., 1, 0] * B[..., 2, 1]
+                              - B[..., 1, 1] * B[..., 2, 0]))
     r = jnp.clip(detB / (2.0 * p ** 3), -1.0, 1.0)
     phi = jnp.arccos(r) / 3.0
     lam2 = q + 2.0 * p * jnp.cos(phi)                         # largest
     lam0 = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)    # smallest
     lam1 = 3.0 * q - lam0 - lam2
+    return lam0, lam1, lam2
+
+
+def sym3_eigvec(A: jnp.ndarray, lamA: jnp.ndarray, lamB: jnp.ndarray,
+                fallback) -> jnp.ndarray:
+    """Unit eigenvector for the remaining eigenvalue of symmetric 3x3 A via
+    Cayley-Hamilton: any column of (A−λ_A I)(A−λ_B I) lies along it."""
+    dtype = A.dtype
     I = jnp.eye(3, dtype=dtype)
-    M = jnp.einsum("nij,njk->nik",
-                   A - lam1[:, None, None] * I,
-                   A - lam2[:, None, None] * I)
-    norms = jnp.linalg.norm(M, axis=1)                        # column norms
+    M = jnp.einsum("...ij,...jk->...ik",
+                   A - lamA[..., None, None] * I,
+                   A - lamB[..., None, None] * I)
+    norms = jnp.linalg.norm(M, axis=-2)                       # column norms
     best = jnp.argmax(norms, axis=-1)
-    col = jnp.take_along_axis(M, best[:, None, None], axis=2)[..., 0]
+    col = jnp.take_along_axis(M, best[..., None, None], axis=-1)[..., 0]
     cn = jnp.linalg.norm(col, axis=-1, keepdims=True)
-    fallback = jnp.asarray([0.0, 0.0, 1.0], dtype)
-    v0 = jnp.where(cn > 1e-12, col / jnp.maximum(cn, 1e-30),
-                   fallback[None, :])
-    return v0
+    fb = jnp.asarray(fallback, dtype)
+    return jnp.where(cn > 1e-12, col / jnp.maximum(cn, 1e-30), fb)
+
+
+def _smallest_eigvec_sym3(A: jnp.ndarray) -> jnp.ndarray:
+    lam0, lam1, lam2 = sym3_eigvals(A)
+    return sym3_eigvec(A, lam1, lam2, [0.0, 0.0, 1.0])
 
 
 def voxel_coords(pts: jnp.ndarray, leaf: float) -> jnp.ndarray:
