@@ -232,7 +232,9 @@ def marginalize_old(s: st.WindowState, prob: BAProblem, focal: float
 
     Factor set mirrors the reference's slideWindow-old marginalization
     (estimator.cpp:1483-1620): previous prior + IMU factor of interval 0 +
-    vision factors whose start frame is 0.
+    vision factors whose start frame is 0 + those LiDAR-ICP/LPS extras whose
+    interpolation bracket touches frame 0 (the reference's NeedICPmarg /
+    NeedLPSmarg handling, :1312-1317, :1345-1352).
     """
     W = s.window
     F = s.num_features
@@ -249,8 +251,15 @@ def marginalize_old(s: st.WindowState, prob: BAProblem, focal: float
                           jnp.arange(W - 1) == 0, prob.gravity)
     prs = fac.prior_system(prob.prior, s)
 
-    Jd = jnp.concatenate([imus.J, prs.J], axis=0)
-    rd = jnp.concatenate([imus.r, prs.r], axis=0)
+    # extras (linearized rows) that touch frame 0's local dims
+    extra_r_now = (prob.extra_r
+                   + prob.extra_J @ st.state_boxminus(s, prob.extra_x0))
+    touches0 = jnp.any(jnp.abs(prob.extra_J[:, :15]) > 0, axis=1)
+    eJ = prob.extra_J * touches0[:, None].astype(dtype)
+    er = extra_r_now * touches0.astype(dtype)
+
+    Jd = jnp.concatenate([imus.J, prs.J, eJ], axis=0)
+    rd = jnp.concatenate([imus.r, prs.r, er], axis=0)
     A_pp = Jd.T @ Jd + jnp.einsum("nri,nrj->ij", vs.Jg, vs.Jg)
     b_p = -(Jd.T @ rd + jnp.einsum("nri,nr->i", vs.Jg, vs.r))
 
