@@ -109,7 +109,7 @@ def main():
 
     # ---- LOAM scan-to-map
     from mvil_fusion_tpu.ops import loam_features as lfe, loam_icp
-    grid, occ = lfe.organize_grid(src, jnp.asarray(s2["ring"]),
+    grid, occ, _ = lfe.organize_grid(src, jnp.asarray(s2["ring"]),
                                   jnp.asarray(s2["rel_time"]), sm, 16, 900,
                                   0.1)
     feats_l = lfe.extract(grid, occ)

@@ -26,8 +26,12 @@ def _freeze(x):
 
 @dataclass(frozen=True)
 class CameraConfig:
-    """Pinhole + radtan camera (reference: camera_model PinholeCamera;
-    config/mynteye_leishen_indoor.yaml:8-22)."""
+    """Camera intrinsics (reference: camera_model CameraFactory.cc; pinhole
+    defaults reproduce config/mynteye_leishen_indoor.yaml:8-22).
+
+    `model` selects pinhole (radtan: k1,k2,p1,p2), mei (adds xi),
+    equidistant (Kannala-Brandt: k2..k5), or scaramuzza (poly + affine
+    c,d,e) — all four camodocal models the reference vendors."""
 
     model: str = "pinhole"
     width: int = 640
@@ -41,6 +45,17 @@ class CameraConfig:
     p1: float = 0.0002761
     p2: float = -0.00026777
     fisheye: bool = False
+    # MEI (CataCamera) mirror parameter
+    xi: float = 1.0
+    # equidistant (Kannala-Brandt) higher-order terms (k2 shared above)
+    k3: float = 0.0
+    k4: float = 0.0
+    k5: float = 0.0
+    # Scaramuzza polynomial z = Σ poly[k]·ρ^k and affine [c d; e 1]
+    poly: Tuple[float, ...] = (-200.0, 0.0, 0.001)
+    aff_c: float = 1.0
+    aff_d: float = 0.0
+    aff_e: float = 0.0
 
     @property
     def intrinsics(self) -> Tuple[float, float, float, float]:
@@ -129,6 +144,9 @@ class LidarConfig:
 
     n_rings: int = 16
     scan_period: float = 0.1
+    # infer sweep-start azimuth from scan history instead of assuming 0
+    # (reference lidar_compensator infer_start_ori_ param)
+    infer_start_ori: bool = False
     min_distance: float = 0.5
     max_distance: float = 70.0
     leaf_size: float = 0.3        # voxel downsample for scan-to-scan
@@ -182,6 +200,11 @@ class LocalMappingConfig:
     submap_trigger_frames: int = 30
     knn_edge: int = 5
     knn_surf: int = 10
+    # carry per-point reflectivity: diff_i feature mask + intensity-similar
+    # surf selection (reference scanRegistration.cpp:575-614,
+    # localMapping.cpp:697-709)
+    use_intensity: bool = False
+    map_crop_radius: float = 60.0
 
 
 @dataclass(frozen=True)

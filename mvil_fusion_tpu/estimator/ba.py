@@ -301,15 +301,19 @@ def marginalize_old(s: st.WindowState, prob: BAProblem, focal: float
 
 @full_precision
 def marginalize_second_new(s: st.WindowState, prob: BAProblem) -> fac.Prior:
-    """Drop the second-newest frame's pose dims (6) from the prior only
+    """Drop the second-newest frame's dims from the prior only
     (reference: MARGIN_SECOND_NEW path, estimator.cpp:1621-1683 — vision
     factors of that frame are discarded, IMU intervals are merged by the
     host window manager).
 
-    Invariant mirrored from the reference (its ROS_ASSERT on
-    para_SpeedBias[W-2]): the prior never has columns on the second-newest
-    frame's speed/bias or on the newest frame, so after dropping the pose
-    block no column re-mapping is needed — kept dims stay at their offsets.
+    The reference drops only the 6 pose dims and ASSERTS the prior has no
+    columns on that frame's speed/bias (its sparse block bookkeeping
+    guarantees it exactly).  Our eigh-based square root produces a dense
+    prior whose speed/bias columns for frame W-2 are only *numerically*
+    zero, so we Schur-eliminate the full 15 dims — identical in exact
+    arithmetic, and it prevents residual v/ba/bg information of the
+    discarded frame from being misattributed to the newest frame after
+    `shift_state_second_new` overwrites slot W-2.
     """
     W = s.window
     D = st.pose_dim(W)
@@ -318,16 +322,16 @@ def marginalize_second_new(s: st.WindowState, prob: BAProblem) -> fac.Prior:
     A = prs.J.T @ prs.J
     b = -prs.J.T @ prs.r
     k = W - 2
-    lo, hi = 15 * k, 15 * k + 6
+    lo, hi = 15 * k, 15 * k + 15
     idx_drop = jnp.arange(lo, hi)
     idx_keep = jnp.concatenate([jnp.arange(0, lo), jnp.arange(hi, D)])
     perm = jnp.concatenate([idx_drop, idx_keep])
     A_p = A[jnp.ix_(perm, perm)]
     b_p = b[perm]
-    A_new, b_new = _schur_drop_first(A_p, b_p, 6)
+    A_new, b_new = _schur_drop_first(A_p, b_p, 15)
     J_r, r0_r = _sqrt_factor(A_new, b_new)
     r0_r = -r0_r
-    nk = D - 6
+    nk = D - 15
     J_new = jnp.zeros((D, D), dtype).at[:nk, idx_keep].set(J_r)
     r0_new = jnp.zeros((D,), dtype).at[:nk].set(r0_r)
     x0 = shift_state_second_new(s)

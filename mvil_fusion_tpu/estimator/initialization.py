@@ -561,9 +561,18 @@ def estimate_vel_g_s_tic(p_c0_c: jnp.ndarray, q_c0_b: jnp.ndarray,
                          pbc0: jnp.ndarray,
                          pbc_lower: jnp.ndarray, pbc_upper: jnp.ndarray,
                          fix_pbc: bool = False,
-                         cost_gate: float = 5e-3) -> StageB:
+                         cost_gate: float = 5e-4,
+                         vel0: jnp.ndarray | None = None,
+                         g0: jnp.ndarray | None = None,
+                         scale0: jnp.ndarray | float | None = None
+                         ) -> StageB:
     """Stage B: per-frame velocity/scale + acc bias + pbc + gravity
-    direction — reference Estimate_vel_g_s_tic (bounded projected LM)."""
+    direction — reference Estimate_vel_g_s_tic (bounded projected LM).
+
+    The per-frame-scale system is underdetermined (the bounds + damping
+    regularize it), so convergence depends on the seed: pass (vel0, g0,
+    scale0) from the linear alignment to start in the consistent basin —
+    the solve then refines per-frame scale, acc bias and pbc around it."""
     W = p_c0_c.shape[0]
     nI = W - 1
     dtype = p_c0_c.dtype
@@ -581,7 +590,11 @@ def estimate_vel_g_s_tic(p_c0_c: jnp.ndarray, q_c0_b: jnp.ndarray,
         gdir = x[ofs_g:ofs_g + 3]
         s = x[ofs_s:ofs_s + W]
         bas = x[ofs_a:].reshape(nI, 3)
-        Gc0 = g_norm * gdir
+        # fixed-norm gravity (the reference fixes ‖G‖ and solves only the
+        # direction): normalize inside the residual so the magnitude can
+        # never soak up scale error (the radial direction is a gauge
+        # null-space, handled by LM damping)
+        Gc0 = g_norm * gdir / jnp.maximum(jnp.linalg.norm(gdir), 1e-6)
 
         def per_interval(k):
             dt = preints.sum_dt[k]
@@ -610,13 +623,32 @@ def estimate_vel_g_s_tic(p_c0_c: jnp.ndarray, q_c0_b: jnp.ndarray,
     x0 = jnp.zeros((n,), dtype)
     if not fix_pbc:
         x0 = x0.at[ofs_p:ofs_p + 3].set(pbc0)
-    # gravity direction init: down-ish in c0 — use the dv of the first
-    # interval (dominated by gravity for slow motion)
-    g_guess = preints.dv[0] / jnp.maximum(
-        jnp.linalg.norm(preints.dv[0]), 1e-6)
-    g_guess = R_c0_b[0] @ g_guess
+    if g0 is not None:
+        g_guess = jnp.asarray(g0, dtype)
+        g_guess = g_guess / jnp.maximum(jnp.linalg.norm(g_guess), 1e-9)
+    else:
+        # gravity direction init: down-ish in c0 — use the dv of the first
+        # interval (dominated by gravity for slow motion)
+        g_guess = preints.dv[0] / jnp.maximum(
+            jnp.linalg.norm(preints.dv[0]), 1e-6)
+        g_guess = R_c0_b[0] @ g_guess
     x0 = x0.at[ofs_g:ofs_g + 3].set(g_guess)
-    x0 = x0.at[ofs_s:ofs_s + W].set(1.0)
+    s_init = 1.0 if scale0 is None else scale0
+    x0 = x0.at[ofs_s:ofs_s + W].set(
+        jnp.broadcast_to(jnp.asarray(s_init, dtype), (W,)))
+    if vel0 is not None:
+        x0 = x0.at[ofs_v:ofs_v + 3 * W].set(
+            jnp.asarray(vel0, dtype).reshape(-1))
+    else:
+        # analytic velocity seed from the scaled camera positions (finite
+        # difference in c0, rotated to body) — a zero seed with a nonzero
+        # scale seed starts LM outside the true basin
+        dp_c0 = jnp.diff(p_c0_c, axis=0) * jnp.asarray(s_init, dtype)
+        v_c0 = dp_c0 / jnp.maximum(preints.sum_dt[:, None], 1e-6)
+        v_c0 = jnp.concatenate([v_c0, v_c0[-1:]], axis=0)      # (W,3)
+        v_body = jnp.einsum("wij,wj->wi",
+                            jnp.swapaxes(R_c0_b, -1, -2), v_c0)
+        x0 = x0.at[ofs_v:ofs_v + 3 * W].set(v_body.reshape(-1))
 
     res = lm.lm_solve(residual, x0, iters=60, lower=lower, upper=upper)
     x = res.x

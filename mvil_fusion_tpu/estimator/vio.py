@@ -28,7 +28,10 @@ from mvil_fusion_tpu.estimator import state as st
 from mvil_fusion_tpu.ops import preintegration as pre, triangulate as tri
 from mvil_fusion_tpu.utils import lie
 
-IMU_NMAX = 256          # per-interval raw-sample capacity (merge-safe)
+IMU_NMAX = 256          # default per-interval raw-sample capacity
+# (VIOEstimator sizes its own buffers from ImuConfig.max_imu_per_frame and
+#  decimates on overflow — see _decimate_interval; this module constant is
+#  only the default capacity for external callers such as bench.py)
 
 # jitted entry points used by the (rare) initialization path; the steady
 # state runs entirely through _frame_step_jit below
@@ -119,6 +122,23 @@ class ImuInterval:
     t: list = field(default_factory=list)
 
 
+def _decimate_interval(iv: ImuInterval, cap: int) -> ImuInterval:
+    """Thin an over-full interval to `cap` samples by keeping evenly spaced
+    raw measurements (first & last always kept, dt totals preserved).
+
+    Engaged when repeated marginalize-second-new merges grow an interval
+    past the static device capacity — the bounded-error alternative to the
+    silent truncation the reference never needs (its IntegrationBase stores
+    unbounded std::vectors, factor/integration_base.h)."""
+    n = len(iv.t)
+    if n <= cap:
+        return iv
+    idx = np.unique(np.round(np.linspace(0, n - 1, cap)).astype(int))
+    return ImuInterval(acc=[iv.acc[i] for i in idx],
+                       gyr=[iv.gyr[i] for i in idx],
+                       t=[iv.t[i] for i in idx])
+
+
 class VIOEstimator:
     INITIAL = 0
     NON_LINEAR = 1
@@ -155,6 +175,10 @@ class VIOEstimator:
             W, fix_ext=(e.estimate_extrinsic == 0),
             fix_td=not e.estimate_td)
         self.failures = 0
+        # per-interval IMU device capacity from config (reference analog:
+        # unbounded vectors; here static shape + decimation on overflow)
+        self.imu_nmax = max(int(cfg.imu.max_imu_per_frame), 8)
+        self.imu_decimations = 0   # observability: how often overflow hit
         self.solve_info: dict = {}
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
@@ -302,43 +326,85 @@ class VIOEstimator:
             self._pending.t.append(iv.t[-1])
         return iv
 
+    def _rel_cam_rotation(self, i: int) -> np.ndarray:
+        """R_{c_i ← c_{i+1}}: gyro-predicted relative camera rotation over
+        interval i (bias-corrected trapezoid integration, host-side)."""
+        if i >= len(self.intervals):
+            return np.eye(3, dtype=np.float32)
+        iv = self.intervals[i]
+        if len(iv.t) < 2:
+            return np.eye(3, dtype=np.float32)
+        bg = np.asarray(self.state.bg[min(i, self.W - 1)])
+        g = np.asarray(iv.gyr) - bg[None, :]
+        dt = np.diff(np.asarray(iv.t))
+        phi = np.sum(0.5 * (g[:-1] + g[1:]) * dt[:, None], axis=0)
+        ang = np.linalg.norm(phi)
+        if ang < 1e-12:
+            R_b = np.eye(3)
+        else:                      # Rodrigues
+            a = phi / ang
+            K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
+                          [-a[1], a[0], 0]])
+            R_b = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
+        Ric = np.asarray(lie.quat_to_mat(self.state.qic))
+        return (Ric.T @ R_b @ Ric).astype(np.float32)
+
     def _check_parallax(self, k: int) -> bool:
         """True → marginalize old (current frame 2nd-newest is a keyframe).
-        Mirrors addFeatureCheckParallax (feature_manager.cpp:45-105)."""
+        Mirrors addFeatureCheckParallax / compensatedParallax2
+        (feature_manager.cpp:45-105): the displacement between frames k-2
+        and k-1 is measured after removing the gyro-predicted rotation, so
+        pure rotation does not fake parallax (per feature we keep
+        min(raw, compensated) as the reference's formula does)."""
         if k < 2:
             return True
         long_tracks = sum(1 for tr in self.tracks.values()
                           if k - 1 in tr.obs and tr.start <= k - 2)
         if long_tracks < 20:
             return True
-        par = []
-        for tr in self.tracks.values():
-            if k - 1 in tr.obs and k - 2 in tr.obs:
-                par.append(np.linalg.norm(tr.obs[k - 1].norm
-                                          - tr.obs[k - 2].norm))
-        if not par:
+        pairs = [(tr.obs[k - 2].norm, tr.obs[k - 1].norm)
+                 for tr in self.tracks.values()
+                 if k - 1 in tr.obs and k - 2 in tr.obs]
+        if not pairs:
             return True
+        R_ij = self._rel_cam_rotation(k - 2)      # c_{k-2} ← c_{k-1}
+        p_i = np.asarray([a for a, _ in pairs])   # (N,2) frame k-2
+        p_j = np.asarray([b for _, b in pairs])   # (N,2) frame k-1
+        rays_j = np.concatenate([p_j, np.ones((len(p_j), 1), np.float32)],
+                                axis=1)
+        rot = rays_j @ R_ij.T
+        p_comp = rot[:, :2] / np.maximum(np.abs(rot[:, 2:3]), 1e-6) \
+            * np.sign(rot[:, 2:3])
+        raw = np.linalg.norm(p_j - p_i, axis=1)
+        comp = np.linalg.norm(p_comp - p_i, axis=1)
+        par = np.minimum(raw, comp)
         min_par = self.cfg.estimator.min_parallax / self.cfg.estimator.focal_length
         return float(np.mean(par)) >= min_par
 
     # ------------------------------------------------------- device tables
 
     def _imu_buffers(self):
-        """Padded per-interval raw IMU buffers as device arrays."""
-        W = self.W
-        accs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
-        gyrs = np.zeros((W - 1, IMU_NMAX, 3), np.float32)
-        dts = np.zeros((W - 1, IMU_NMAX), np.float32)
-        masks = np.zeros((W - 1, IMU_NMAX), bool)
+        """Padded per-interval raw IMU buffers as device arrays.
+
+        Intervals longer than the static capacity are decimated (evenly
+        spaced samples, total dt preserved) rather than truncated."""
+        W, NM = self.W, self.imu_nmax
+        accs = np.zeros((W - 1, NM, 3), np.float32)
+        gyrs = np.zeros((W - 1, NM, 3), np.float32)
+        dts = np.zeros((W - 1, NM), np.float32)
+        masks = np.zeros((W - 1, NM), bool)
         for kk in range(min(W - 1, len(self.intervals))):
             iv = self.intervals[kk]
-            n = min(len(iv.acc), IMU_NMAX)
+            if len(iv.acc) > NM:
+                iv = _decimate_interval(iv, NM)
+                self.intervals[kk] = iv
+                self.imu_decimations += 1
+            n = len(iv.acc)
             if n < 2:
                 continue
-            accs[kk, :n] = np.asarray(iv.acc[:n])
-            gyrs[kk, :n] = np.asarray(iv.gyr[:n])
-            tarr = np.asarray(iv.t[:n])
-            dts[kk, :n - 1] = np.diff(tarr)
+            accs[kk, :n] = np.asarray(iv.acc)
+            gyrs[kk, :n] = np.asarray(iv.gyr)
+            dts[kk, :n - 1] = np.diff(np.asarray(iv.t))
             masks[kk, :n] = True
         return (jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
                 jnp.asarray(masks))
@@ -512,15 +578,54 @@ class VIOEstimator:
             lie.quat_mul(qc, lie.quat_conj(q_ric)), lie.quat_normalize(qtd)
         )))(q_c0_c, qr_td)
 
-        align = vinit.linear_alignment(p_c0_c, q_c0_b, preints,
-                                       self.cfg.imu.g_norm, self.state.tic)
-        if not align.ok or float(align.scale) < 1e-3:
-            return False
+        # Production init path mirrors the reference dispatcher
+        # (initial_aligment.cpp:486-519): the bounded stage-B solve
+        # (per-frame scale s[i], per-interval acc bias, pbc, gravity
+        # direction) is the authority.  It is seeded from the closed-form
+        # linear alignment — the per-frame-scale system is underdetermined,
+        # so LM needs to start in the consistent basin — and falls back to
+        # the linear solution if its gate fails.
+        e_cfg = self.cfg.estimator
+        lin = vinit.linear_alignment(p_c0_c, q_c0_b, preints,
+                                     self.cfg.imu.g_norm, self.state.tic)
+        seed = dict(vel0=lin.vel, g0=lin.g_c0, scale0=lin.scale) \
+            if (lin.ok and float(lin.scale) > 1e-3) else {}
+        stage_b = vinit.estimate_vel_g_s_tic(
+            p_c0_c, q_c0_b, preints, self.cfg.imu.g_norm,
+            self.state.tic,
+            jnp.asarray(e_cfg.pbc_lower, jnp.float32),
+            jnp.asarray(e_cfg.pbc_upper, jnp.float32),
+            fix_pbc=(e_cfg.estimate_extrinsic == 0), **seed)
+        scale_vec = np.asarray(stage_b.scale)
+        if stage_b.ok and float(scale_vec.min()) > 1e-3:
+            init_path = "novel_stage_b"
+            s = stage_b.scale                       # (W,) per-frame scale
+            g_c0 = stage_b.g_c0
+            align_vel = stage_b.vel
+            align_cost = stage_b.cost
+            # adopt refined pbc and per-interval acc bias (reference
+            # visualInitialAlign applies S[i], TIC, Bas — estimator.cpp
+            # :771-871)
+            self.state = self.state._replace(
+                tic=stage_b.pbc,
+                ba=jnp.concatenate([stage_b.bas, stage_b.bas[-1:]], axis=0))
+        else:
+            # the linear fallback must itself be consistent: a window whose
+            # closed-form alignment has large residual (e.g. it still spans
+            # corrupted IMU after a reboot) must NOT seed the filter — the
+            # reference rejects such windows via its solver cost/excitation
+            # gates and simply waits for the next frame.
+            if (not lin.ok or float(lin.scale) < 1e-3
+                    or lin.cost > 5e-3):
+                return False
+            init_path = "linear_fallback"
+            s = jnp.full((W,), lin.scale)           # single global scale
+            g_c0 = lin.g_c0
+            align_vel = lin.vel
+            align_cost = lin.cost
 
         # ---- apply: gravity-align to world (visualInitialAlign,
         # reference estimator.cpp:771-871)
-        s = align.scale
-        g_c0 = align.g_c0
         R0 = lie.g2R(g_c0)
         # zero the yaw of frame 0
         R_b0 = lie.quat_to_mat(q_c0_b[0])
@@ -529,14 +634,14 @@ class VIOEstimator:
         R0 = Ryaw @ R0
 
         R_c0_b = lie.quat_to_mat(q_c0_b)                     # (W,3,3)
-        p_body_c0 = (s * p_c0_c
+        p_body_c0 = (s[:, None] * p_c0_c
                      - jnp.einsum("wij,j->wi", R_c0_b, self.state.tic))
         p_w = jnp.einsum("ij,wj->wi", R0, p_body_c0)
         p_w = p_w - p_w[0:1]
         q_w = jax.vmap(lambda q: lie.quat_mul(
             lie.mat_to_quat(R0), q))(q_c0_b)
         v_w = jnp.einsum("ij,wj->wi", R0,
-                         jnp.einsum("wij,wj->wi", R_c0_b, align.vel))
+                         jnp.einsum("wij,wj->wi", R_c0_b, align_vel))
 
         self.state = self.state._replace(p=p_w, q=jax.vmap(
             lie.quat_normalize)(q_w), v=v_w)
@@ -548,9 +653,9 @@ class VIOEstimator:
             if not tr.depth_fixed:
                 tr.inv_depth = -1.0
         self._triangulate_new(feats)
-        self.solve_info["init"] = dict(l=l, scale=float(s),
-                                       stage_a_cost=stage_a.cost,
-                                       align_cost=align.cost)
+        self.solve_info["init"] = dict(
+            l=l, path=init_path, scale=np.asarray(s).tolist(),
+            stage_a_cost=stage_a.cost, align_cost=align_cost)
         return True
 
     # ------------------------------------------------------- solve + slide
@@ -611,15 +716,26 @@ class VIOEstimator:
             self._slide(old=False)
 
     def _reboot(self):
-        """clearState + setParameter (reference estimator.cpp:588-597)."""
+        """clearState + setParameter (reference estimator.cpp:588-597).
+
+        The reference's clearState keeps the node's LiDAR path alive (only
+        window state is wiped); mirror that by re-enabling the LiDAR
+        frontend and carrying over its calibrated extrinsics."""
         failures = self.failures + 1
         trajectory = self.trajectory
         cfg = self.cfg
         keep_qic, keep_tic = self.state.qic, self.state.tic
+        lidar_prev = self.lidar
         self.__init__(cfg)
         self.state = self.state._replace(qic=keep_qic, tic=keep_tic)
         self.failures = failures
         self.trajectory = trajectory
+        if lidar_prev is not None:
+            self.enable_lidar()
+            self.lidar.rlb = lidar_prev.rlb
+            self.lidar.tlb = lidar_prev.tlb
+            self.lidar.q_lb = lidar_prev.q_lb
+            self.lidar.calibrated = lidar_prev.calibrated
 
     def _slide(self, old: bool):
         W = self.W

@@ -209,10 +209,19 @@ class Scaramuzza(NamedTuple):
         return jnp.stack([u, v], axis=-1)
 
 
-def from_config(cfg) -> PinholeRadtan:
-    """Build the camera from a CameraConfig (pinhole path of the factory,
-    reference CameraFactory.cc)."""
-    if cfg.model != "pinhole":
-        raise NotImplementedError(f"camera model {cfg.model}")
-    return PinholeRadtan(fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
-                         k1=cfg.k1, k2=cfg.k2, p1=cfg.p1, p2=cfg.p2)
+def from_config(cfg):
+    """Build the camera from a CameraConfig — the factory dispatch over all
+    four models (reference CameraFactory.cc)."""
+    if cfg.model == "pinhole":
+        return PinholeRadtan(fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+                             k1=cfg.k1, k2=cfg.k2, p1=cfg.p1, p2=cfg.p2)
+    if cfg.model == "mei":
+        return Mei(xi=cfg.xi, fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+                   k1=cfg.k1, k2=cfg.k2, p1=cfg.p1, p2=cfg.p2)
+    if cfg.model == "equidistant":
+        return Equidistant(fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
+                           k2=cfg.k2, k3=cfg.k3, k4=cfg.k4, k5=cfg.k5)
+    if cfg.model == "scaramuzza":
+        return Scaramuzza(cx=cfg.cx, cy=cfg.cy, poly=tuple(cfg.poly),
+                          c=cfg.aff_c, d=cfg.aff_d, e=cfg.aff_e)
+    raise NotImplementedError(f"camera model {cfg.model}")

@@ -91,13 +91,29 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, key,
 
     ok2 = jax.lax.cond(enough & do_track, with_ransac, lambda: ok)
 
+    # --- setMask: track-count-ranked min-dist suppression ----------------
+    # (reference feature_tracker.cpp:36-69 — features are visited longest
+    # track first; any later feature within min_dist of a kept one is
+    # dropped, so under churn the stable tracks win the spatial budget)
+    N = pts.shape[0]
+    order = jnp.argsort(-jnp.where(ok2, track_cnt1, -1))
+    min_d2 = jnp.asarray(float(tk.min_dist) ** 2, jnp.float32)
+
+    def suppress(kept, i):
+        d2 = jnp.sum((pts1 - pts1[i]) ** 2, axis=1)
+        near_kept = jnp.any((d2 < min_d2) & kept)
+        keep_i = ok2[i] & jnp.logical_not(near_kept)
+        return kept.at[i].set(keep_i), None
+
+    kept, _ = jax.lax.scan(suppress, jnp.zeros((N,), bool), order)
+    ok2 = ok2 & kept
+
     # --- refill with new corners ---------------------------------------
     n_missing = tk.max_cnt - jnp.sum(ok2)
     det = corners.detect(img, pts1, ok2, max_new=tk.max_cnt,
                          min_dist=tk.min_dist)
     want_new = det.ok & (jnp.arange(det.pts.shape[0]) < n_missing)
     # assign new corners to empty slots: rank empty slots and new corners
-    N = pts.shape[0]
     slot_rank = jnp.cumsum(~ok2) - 1          # index among empty slots
     corner_rank = jnp.cumsum(want_new) - 1    # index among accepted corners
     # scatter: corner j -> the (corner_rank[j])-th empty slot
@@ -122,8 +138,11 @@ class FeatureTracker:
     def __init__(self, config: SystemConfig):
         self.cfg = config
         self.camera = cam.from_config(config.camera)
-        self._cfg_key = id(config)
-        _CFG_CACHE[self._cfg_key] = (config, self.camera)
+        # keyed by VALUE (SystemConfig is a frozen dataclass of hashables):
+        # equal configs share one cache entry and one compiled program;
+        # unlike id()-keying there is no aliasing after GC id reuse.
+        self._cfg_key = config
+        _CFG_CACHE.setdefault(self._cfg_key, (config, self.camera))
         N = config.tracker.max_features_pad
         self.N = N
         self.pts = jnp.zeros((N, 2), jnp.float32)

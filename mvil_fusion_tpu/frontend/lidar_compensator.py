@@ -42,11 +42,12 @@ class CompensatedSweep(NamedTuple):
 
 @partial(jax.jit, static_argnames=("n_rings", "scan_period", "fov_down",
                                    "fov_up", "min_dist", "max_dist"))
-def _annotate(pts, mask, n_rings: int, scan_period: float,
+def _annotate(pts, mask, start_azi, n_rings: int, scan_period: float,
               fov_down: float, fov_up: float,
               min_dist: float, max_dist: float):
     ring, rel_time, ring_ok = dsk.ring_and_time(
-        pts, n_rings, scan_period, fov_up_deg=fov_up, fov_down_deg=fov_down)
+        pts, n_rings, scan_period, fov_up_deg=fov_up, fov_down_deg=fov_down,
+        start_azimuth=start_azi)
     rng = jnp.linalg.norm(pts, axis=-1)
     ok = mask & ring_ok & (rng > min_dist) & (rng < max_dist)
     intensity = ring.astype(pts.dtype) + rel_time
@@ -58,6 +59,27 @@ class LidarCompensator:
     cfg: SystemConfig
     sensor: str = "leishen_c16"
 
+    def __post_init__(self):
+        # start-orientation circular buffer (reference PointProcessor.cc
+        # :107-341 infers the sweep start azimuth from 10-scan history
+        # instead of assuming azimuth 0)
+        self._start_hist: list[float] = []
+
+    def _infer_start(self, pts: np.ndarray, valid: np.ndarray) -> float:
+        """Sweep-start azimuth = circular mean over the first points of
+        this sweep (drivers emit in capture order), smoothed over the last
+        10 sweeps."""
+        idx = np.nonzero(valid)[0][:32]
+        if len(idx) == 0:
+            return self._start_hist[-1] if self._start_hist else 0.0
+        azi = np.arctan2(pts[idx, 1], pts[idx, 0])
+        est = float(np.arctan2(np.sin(azi).mean(), np.cos(azi).mean()))
+        self._start_hist.append(est)
+        if len(self._start_hist) > 10:
+            self._start_hist.pop(0)
+        s = np.asarray(self._start_hist)
+        return float(np.arctan2(np.sin(s).mean(), np.cos(s).mean()))
+
     def process(self, t_start: float, pts: np.ndarray,
                 valid: np.ndarray | None = None) -> CompensatedSweep:
         """Annotate one raw sweep (N,3) with ring ids and relative times."""
@@ -65,8 +87,11 @@ class LidarCompensator:
         fov_down, fov_up, n_rings = SENSOR_PRESETS[self.sensor]
         if valid is None:
             valid = np.isfinite(pts).all(axis=-1)
+        start_azi = (self._infer_start(pts, valid)
+                     if lc.infer_start_ori else 0.0)
         ring, rel, ok, inten = _annotate(
             jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+            jnp.asarray(start_azi, jnp.float32),
             n_rings=n_rings, scan_period=lc.scan_period,
             fov_down=fov_down, fov_up=fov_up,
             min_dist=lc.min_distance, max_dist=lc.max_distance)

@@ -24,6 +24,20 @@ from typing import Iterator, Optional
 
 import numpy as np
 
+from mvil_fusion_tpu.io import lz4 as _lz4
+
+
+def _decompress_chunk(comp: str, data: bytes) -> bytes:
+    """Chunk payload → record bytes.  Unknown compressions raise (the
+    silent-misparse alternative would drop messages without a trace)."""
+    if comp == "none":
+        return data
+    if comp == "bz2":
+        return bz2.decompress(data)
+    if comp == "lz4":
+        return _lz4.decompress(data)
+    raise ValueError(f"unsupported rosbag chunk compression {comp!r}")
+
 # record opcodes (rosbag v2.0 spec)
 OP_MSG_DATA = 0x02
 OP_BAG_HEADER = 0x03
@@ -111,7 +125,7 @@ class BagReader:
                     msg_type=sub.get("type", b"").decode())
             elif op == OP_CHUNK:
                 comp = header.get("compression", b"none").decode()
-                chunk = bz2.decompress(data) if comp == "bz2" else data
+                chunk = _decompress_chunk(comp, data)
                 for h2, d2 in _iter_records(chunk):
                     op2 = h2.get("op", b"\x00")[0]
                     if op2 == OP_CONNECTION:
@@ -262,10 +276,13 @@ def decode_pointcloud2(raw: bytes):
 # ---------------------------------------------------------------------------
 
 class BagWriter:
-    """Minimal uncompressed rosbag v2.0 writer (one chunk)."""
+    """Minimal rosbag v2.0 writer (one chunk; none/bz2/lz4 compression)."""
 
-    def __init__(self, path: str):
+    def __init__(self, path: str, compression: str = "none"):
+        if compression not in ("none", "bz2", "lz4"):
+            raise ValueError(f"unsupported compression {compression!r}")
         self.path = path
+        self.compression = compression
         self.connections: dict[str, int] = {}
         self.conn_types: dict[str, str] = {}
         self.msgs: list = []
@@ -311,10 +328,15 @@ class BagWriter:
                  "conn_count": struct.pack("<I", len(self.connections)),
                  "chunk_count": struct.pack("<I", 1)},
                 b" " * max(0, 4096)))
+            payload = chunk
+            if self.compression == "bz2":
+                payload = bz2.compress(chunk)
+            elif self.compression == "lz4":
+                payload = _lz4.compress(chunk)
             f.write(self._record(
                 {"op": bytes([OP_CHUNK]),
-                 "compression": b"none",
-                 "size": struct.pack("<I", len(chunk))}, chunk))
+                 "compression": self.compression.encode(),
+                 "size": struct.pack("<I", len(chunk))}, payload))
 
 
 # ---------------------------------------------------------------------------

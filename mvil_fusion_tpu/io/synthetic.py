@@ -183,3 +183,37 @@ class SyntheticWorld:
         v = fy * yn + cy
         vis = ok & (u >= 0) & (u < width) & (v >= 0) & (v < height)
         return (np.stack([u, v], -1), np.stack([xn, yn], -1), z, vis)
+
+    def render_image(self, t, ric, tic, fx=460.0, fy=460.0, cx=320.0,
+                     cy=240.0, width=640, height=480, dot_sigma=1.8,
+                     background=24.0):
+        """Render a trackable mono image at time t: Gaussian dots at the
+        projected landmarks over a flat background.
+
+        Gives the KLT front end (CLAHE → LK → RANSAC → refill) real pixels
+        whose ground-truth geometry is known — the e2e stand-in for the
+        reference's camera stream (feature_tracker.cpp:81-167 input)."""
+        uv, _, z, vis = self.project(t, ric, tic, fx=fx, fy=fy, cx=cx,
+                                     cy=cy, width=width, height=height)
+        img = np.full((height, width), background, np.float32)
+        # stable per-landmark brightness (id-hash) so dots are distinguishable
+        amp = 120.0 + 120.0 * ((np.arange(len(self.landmarks)) * 2654435761)
+                               % 997) / 997.0
+        r = int(np.ceil(3 * dot_sigma))
+        ys, xs = np.mgrid[-r:r + 1, -r:r + 1]
+        for i in np.nonzero(vis)[0]:
+            u, v = uv[i]
+            iu, iv = int(round(u)), int(round(v))
+            du, dv = u - iu, v - iv
+            patch = amp[i] * np.exp(-((xs - du) ** 2 + (ys - dv) ** 2)
+                                    / (2 * dot_sigma ** 2))
+            y0, y1 = iv - r, iv + r + 1
+            x0, x1 = iu - r, iu + r + 1
+            py0, px0 = max(0, -y0), max(0, -x0)
+            y0, x0 = max(0, y0), max(0, x0)
+            y1, x1 = min(height, y1), min(width, x1)
+            if y1 <= y0 or x1 <= x0:
+                continue
+            img[y0:y1, x0:x1] += patch[py0:py0 + (y1 - y0),
+                                       px0:px0 + (x1 - x0)]
+        return np.clip(img, 0.0, 255.0)

@@ -87,6 +87,7 @@ def simulate_sweep(world: BoxWorld, traj: SyntheticTrajectory,
     ring = RING.reshape(-1)
 
     pts = np.zeros_like(dirs_sensor)
+    pts_world = np.zeros_like(dirs_sensor)
     mask = np.zeros(len(dirs_sensor), bool)
     # group by capture time for efficiency (one pose per azimuth column)
     p_end, q_end = traj.pose_at(t_start + scan_period)
@@ -108,10 +109,12 @@ def simulate_sweep(world: BoxWorld, traj: SyntheticTrajectory,
         mask[sel] = ok
         # ground truth in end frame: world point → end sensor frame
         pw = p_w[None, :] + d_w * rng_hit[:, None]
+        pts_world[sel] = pw
         pts_true_end[sel] = (pw - p_end[None, :]) @ R_end
 
     return dict(pts=pts.astype(np.float32),
                 rel_time=rel_time.astype(np.float32),
                 ring=ring.astype(np.int32), mask=mask,
                 pts_true_end=pts_true_end.astype(np.float32),
+                pts_world=pts_world.astype(np.float32),
                 t_start=t_start, t_end=t_start + scan_period)

@@ -55,6 +55,9 @@ class LocalMapper:
         self.corner_mask = jnp.zeros((CORNER_CAP,), bool)
         self.surf_map = jnp.zeros((SURF_CAP, 3), jnp.float32)
         self.surf_mask = jnp.zeros((SURF_CAP,), bool)
+        # per-point reflectivity of the surf map (voxel-averaged alongside
+        # positions; used for intensity-similar correspondence selection)
+        self.surf_map_i = jnp.zeros((SURF_CAP,), jnp.float32)
         # map-to-odometry correction (reference wmap_wodom)
         self.p_corr = np.zeros(3, np.float32)
         self.q_corr = np.asarray([1, 0, 0, 0], np.float32)
@@ -83,7 +86,8 @@ class LocalMapper:
         ds = _downsample_jit(allp, allm, leaf=leaf, max_out=cap)
         return ds.pts, ds.mask
 
-    def _crop(self, center: np.ndarray, radius: float = 60.0):
+    def _crop(self, center: np.ndarray):
+        radius = self.cfg.local_mapping.map_crop_radius
         d = jnp.linalg.norm(self.surf_map - jnp.asarray(center)[None, :],
                             axis=-1)
         self.surf_mask = self.surf_mask & (d < radius)
@@ -94,25 +98,33 @@ class LocalMapper:
     # ------------------------------------------------------------------
 
     def process(self, t: float, sharp, sharp_mask, flat, flat_mask,
-                p_odom: np.ndarray, q_odom: np.ndarray) -> Optional[Submap]:
+                p_odom: np.ndarray, q_odom: np.ndarray,
+                flat_i=None) -> Optional[Submap]:
         """One feature frame: returns a Submap when the handoff triggers."""
         m = self.cfg.local_mapping
         sharp = jnp.asarray(sharp)
         flat = jnp.asarray(flat)
         sharp_mask = jnp.asarray(sharp_mask)
         flat_mask = jnp.asarray(flat_mask)
+        use_i = m.use_intensity and flat_i is not None
+        if flat_i is None:
+            flat_i = jnp.zeros((flat.shape[0],), jnp.float32)
+        else:
+            flat_i = jnp.asarray(flat_i, jnp.float32)
 
         p_guess, q_guess = self._apply_corr(p_odom, q_odom)
 
         if not self.initialized:
             p_new, q_new = p_guess, q_guess
         else:
+            ikw = dict(surf_i=flat_i, surf_map_i=self.surf_map_i) \
+                if use_i else dict(surf_i=None, surf_map_i=None)
             p_new, q_new, n_e, n_p, res = _scan_to_map_jit(
                 sharp, sharp_mask, flat, flat_mask,
                 self.corner_map, self.corner_mask,
                 self.surf_map, self.surf_mask,
                 p_guess.astype(jnp.float32), q_guess.astype(jnp.float32),
-                outer_iters=m.outer_iters, gn_iters=m.gn_iters)
+                outer_iters=m.outer_iters, gn_iters=m.gn_iters, **ikw)
             if int(n_e) + int(n_p) < 50:
                 # degenerate association — keep odometry prediction
                 p_new, q_new = p_guess, q_guess
@@ -124,15 +136,20 @@ class LocalMapper:
         self.p_corr = np.asarray(pc)
         self.q_corr = np.asarray(qc)
 
-        # insert features into the rolling map (world frame)
+        # insert features into the rolling map (world frame); the surf map
+        # carries intensity as a 4th voxel-averaged channel
         sharp_w = lie.quat_rotate(q_new[None, :], sharp) + p_new[None, :]
         flat_w = lie.quat_rotate(q_new[None, :], flat) + p_new[None, :]
         self.corner_map, self.corner_mask = self._insert(
             self.corner_map, self.corner_mask, sharp_w, sharp_mask,
             m.corner_leaf, CORNER_CAP)
-        self.surf_map, self.surf_mask = self._insert(
-            self.surf_map, self.surf_mask, flat_w, flat_mask,
-            m.surf_leaf, SURF_CAP)
+        surf4 = jnp.concatenate([self.surf_map,
+                                 self.surf_map_i[:, None]], axis=1)
+        new4 = jnp.concatenate([flat_w, flat_i[:, None]], axis=1)
+        surf4_new, self.surf_mask = self._insert(
+            surf4, self.surf_mask, new4, flat_mask, m.surf_leaf, SURF_CAP)
+        self.surf_map = surf4_new[:, :3]
+        self.surf_map_i = surf4_new[:, 3]
         self._crop(np.asarray(p_new))
         self.initialized = True
         self.trajectory.append((t, np.asarray(p_new), np.asarray(q_new)))

@@ -34,13 +34,15 @@ def deskew_to_end(pts: jnp.ndarray, rel_time: jnp.ndarray,
 
 
 def ring_and_time(pts: jnp.ndarray, n_rings: int, scan_period: float,
-                  fov_up_deg: float = 15.0, fov_down_deg: float = -15.0):
+                  fov_up_deg: float = 15.0, fov_down_deg: float = -15.0,
+                  start_azimuth: jnp.ndarray | float = 0.0):
     """Ring index from elevation + relative time from azimuth.
 
     The lidar_compensator front end (reference: lidar_compensator/src/
     PointProcessor.cc PointToRing :107-341, ElevationToRing): elevation maps
-    linearly onto the ring ladder; azimuth (unwound clockwise from the start
-    orientation) maps onto [0, scan_period].
+    linearly onto the ring ladder; azimuth (unwound clockwise from
+    `start_azimuth`, the inferred sweep start orientation) maps onto
+    [0, scan_period].
     """
     x, y, z = pts[..., 0], pts[..., 1], pts[..., 2]
     r_xy = jnp.sqrt(x * x + y * y)
@@ -48,7 +50,7 @@ def ring_and_time(pts: jnp.ndarray, n_rings: int, scan_period: float,
     step = (fov_up_deg - fov_down_deg) / (n_rings - 1)
     ring = jnp.round((elev - fov_down_deg) / step).astype(jnp.int32)
     ring_ok = (ring >= 0) & (ring < n_rings)
-    azi = jnp.arctan2(y, x)                     # [-pi, pi], start at 0
-    frac = (-azi) % (2.0 * jnp.pi) / (2.0 * jnp.pi)  # clockwise sweep
+    azi = jnp.arctan2(y, x)                     # [-pi, pi]
+    frac = (start_azimuth - azi) % (2.0 * jnp.pi) / (2.0 * jnp.pi)  # cw sweep
     rel_time = frac * scan_period
     return ring, rel_time, ring_ok

@@ -27,13 +27,17 @@ class LoamFeatures(NamedTuple):
     flat_mask: jnp.ndarray
     less_flat: jnp.ndarray     # (NLF,3) downsampled remainder
     less_flat_mask: jnp.ndarray
+    less_flat_i: jnp.ndarray   # (NLF,) intensity of less-flat points
 
 
 def organize_grid(pts: jnp.ndarray, ring: jnp.ndarray, rel_time: jnp.ndarray,
                   mask: jnp.ndarray, n_rings: int, n_azimuth: int,
-                  scan_period: float):
+                  scan_period: float, intensity: jnp.ndarray | None = None):
     """Scatter an unordered sweep into a dense (R, A, 3) grid by
-    (ring, azimuth-bucket).  Later writers win on duplicate cells."""
+    (ring, azimuth-bucket).  Later writers win on duplicate cells.
+
+    Returns (grid (R,A,3), occ (R,A), igrid (R,A)); igrid is zeros when no
+    per-point intensity is supplied."""
     a_idx = jnp.clip((rel_time / scan_period * n_azimuth).astype(jnp.int32),
                      0, n_azimuth - 1)
     r_idx = jnp.clip(ring, 0, n_rings - 1)
@@ -43,25 +47,35 @@ def organize_grid(pts: jnp.ndarray, ring: jnp.ndarray, rel_time: jnp.ndarray,
         pts, mode="drop")
     occ = jnp.zeros((n_rings * n_azimuth,), bool).at[flat_idx].set(
         True, mode="drop")
+    if intensity is None:
+        igrid = jnp.zeros((n_rings, n_azimuth), pts.dtype)
+    else:
+        igrid = jnp.zeros((n_rings * n_azimuth,), pts.dtype).at[
+            flat_idx].set(intensity, mode="drop").reshape(n_rings, n_azimuth)
     return (grid.reshape(n_rings, n_azimuth, 3),
-            occ.reshape(n_rings, n_azimuth))
+            occ.reshape(n_rings, n_azimuth), igrid)
 
 
 def extract(grid: jnp.ndarray, occ: jnp.ndarray,
+            igrid: jnp.ndarray | None = None,
             n_subregions: int = 8,
             sharp_per_region: int = 2,
             less_sharp_per_region: int = 10,
             flat_per_region: int = 4,
             curvature_threshold: float = 0.1,
-            min_range: float = 0.3) -> LoamFeatures:
+            min_range: float = 0.3,
+            use_intensity_mask: bool = False) -> LoamFeatures:
     """Curvature features from the organized grid.
 
-    grid (R,A,3), occ (R,A).  Capacities are static: sharp R·S·sharp, etc.
+    grid (R,A,3), occ (R,A), igrid (R,A) per-point intensity.  Capacities
+    are static: sharp R·S·sharp, etc.
     """
     R, A, _ = grid.shape
     dtype = grid.dtype
     rng_ = jnp.linalg.norm(grid, axis=-1)                    # (R,A)
     valid = occ & (rng_ > min_range)
+    if igrid is None:
+        igrid = jnp.zeros((R, A), dtype)
 
     # 11-tap curvature: sum of 5 neighbors each side minus 10x center
     # (scanRegistration.cpp curvature definition)
@@ -70,9 +84,16 @@ def extract(grid: jnp.ndarray, occ: jnp.ndarray,
 
     acc = -10.0 * grid
     nb_ok = valid
+    diff_i = jnp.zeros((R, A), jnp.int32)
+    ic = jnp.maximum(jnp.abs(igrid), 1e-6)
     for k in list(range(-5, 0)) + list(range(1, 6)):
         acc = acc + shift(grid, k)
         nb_ok = nb_ok & shift(valid, k)
+        # diff_i: count of ±5 neighbors whose intensity ratio to the
+        # center truncates to 1, i.e. is in [1,2) — "similar reflectivity"
+        # (reference scanRegistration.cpp:575-614)
+        ratio = shift(igrid, k) / ic
+        diff_i = diff_i + (jnp.floor(ratio) == 1).astype(jnp.int32)
     curv = jnp.sum(acc * acc, axis=-1) / jnp.maximum(rng_ * rng_, 1e-6)
     usable = nb_ok & valid
 
@@ -83,6 +104,15 @@ def extract(grid: jnp.ndarray, occ: jnp.ndarray,
     occl = (jnp.abs(r_next - rng_) > 0.3 * rng_) | \
         (jnp.abs(r_prev - rng_) > 0.3 * rng_)
     usable = usable & ~occl
+
+    if use_intensity_mask:
+        # the reference's intensity-ratio gate: high-curvature points whose
+        # neighborhood reflectivity is uniform (diff_i > 4) and flat points
+        # whose reflectivity varies (diff_i < 5) are both excluded
+        # (scanRegistration.cpp:603-610)
+        i_bad = ((curv > curvature_threshold / 2) & (diff_i > 4)) | \
+            ((curv < curvature_threshold / 10) & (diff_i < 5))
+        usable = usable & ~i_bad
 
     curv_m = jnp.where(usable, curv, -1.0)
 
@@ -114,9 +144,10 @@ def extract(grid: jnp.ndarray, occ: jnp.ndarray,
     # azimuth for capacity
     lf_p = grid[:, ::4, :].reshape(-1, 3)
     lf_ok = (usable & (curv < curvature_threshold))[:, ::4].reshape(-1)
+    lf_i = igrid[:, ::4].reshape(-1)
 
     return LoamFeatures(
         sharp=sh_p.reshape(-1, 3), sharp_mask=sh_ok.reshape(-1),
         less_sharp=ls_p.reshape(-1, 3), less_sharp_mask=ls_ok.reshape(-1),
         flat=fl_p.reshape(-1, 3), flat_mask=fl_ok.reshape(-1),
-        less_flat=lf_p, less_flat_mask=lf_ok)
+        less_flat=lf_p, less_flat_mask=lf_ok, less_flat_i=lf_i)

@@ -52,12 +52,17 @@ def find_correspondences(corner_src, corner_mask, surf_src, surf_mask,
                          corner_map, corner_map_mask, surf_map,
                          surf_map_mask, p, q,
                          max_corr_dist: float = 1.0,
-                         k_edge: int = 5, k_surf: int = 5
+                         k_edge: int = 5, k_surf: int = 5,
+                         surf_i=None, surf_map_i=None,
+                         k_surf_knn: int = 10
                          ) -> Correspondences:
     """Associate transformed source features with map lines/planes.
 
     Mirrors localMapping.cpp:594-793: edges need the 5-NN cluster to be
-    line-like (λ2 > 3λ1); planes need a consistent LSQ plane fit.
+    line-like (λ2 > 3λ1); planes need a consistent LSQ plane fit.  When
+    surf intensities are given, the plane fit uses the `k_surf` most
+    reflectivity-similar of the `k_surf_knn` nearest map points (the
+    reference's intensity-similar surf selection, localMapping.cpp:697-709).
     """
     dtype = corner_src.dtype
     cw = lie.quat_rotate(q[None, :], corner_src) + p[None, :]
@@ -78,8 +83,20 @@ def find_correspondences(corner_src, corner_mask, surf_src, surf_mask,
     edge_ok = corner_mask & near_ok & line_like & jnp.isfinite(ed2[:, -1])
 
     # ---- planes
-    sidx, sd2 = knn(sw, surf_map, surf_map_mask, k_surf)
-    snear = sd2[:, -1] < max_corr_dist * max_corr_dist
+    if surf_i is not None and surf_map_i is not None:
+        sidx10, sd2_10 = knn(sw, surf_map, surf_map_mask, k_surf_knn)
+        # distance gate on the k_surf-th nearest (reference gates
+        # pointSearchSqDis[4] of the 10-NN), then keep the k_surf most
+        # intensity-similar neighbors for the fit
+        snear = sd2_10[:, k_surf - 1] < max_corr_dist * max_corr_dist
+        di = jnp.abs(surf_map_i[sidx10] - surf_i[:, None])     # (Np,10)
+        di = jnp.where(jnp.isfinite(sd2_10), di, jnp.inf)
+        _, sel = jax.lax.top_k(-di, k_surf)                    # (Np,k)
+        sidx = jnp.take_along_axis(sidx10, sel, axis=1)
+        sd2 = jnp.take_along_axis(sd2_10, sel, axis=1)
+    else:
+        sidx, sd2 = knn(sw, surf_map, surf_map_mask, k_surf)
+        snear = sd2[:, -1] < max_corr_dist * max_corr_dist
     snbr = surf_map[sidx]                                    # (Np,k,3)
     # LSQ plane: N·x = -1 (A-LOAM formulation), trace-relative ridge for
     # f32 robustness on near-collinear clusters
@@ -148,7 +165,8 @@ def _residuals(corr: Correspondences, p, q, huber_delta: float = 0.1):
 def scan_to_map(corner_src, corner_mask, surf_src, surf_mask,
                 corner_map, corner_map_mask, surf_map, surf_map_mask,
                 p0, q0, outer_iters: int = 2, gn_iters: int = 4,
-                max_corr_dist: float = 1.0):
+                max_corr_dist: float = 1.0,
+                surf_i=None, surf_map_i=None):
     """Full LOAM scan-to-map alignment (outer: re-associate; inner: GN)."""
     dtype = corner_src.dtype
 
@@ -157,7 +175,7 @@ def scan_to_map(corner_src, corner_mask, surf_src, surf_mask,
         corr = find_correspondences(
             corner_src, corner_mask, surf_src, surf_mask,
             corner_map, corner_map_mask, surf_map, surf_map_mask,
-            p, q, max_corr_dist)
+            p, q, max_corr_dist, surf_i=surf_i, surf_map_i=surf_map_i)
 
         def inner(carry2, _):
             p2, q2 = carry2
@@ -188,7 +206,7 @@ def scan_to_map(corner_src, corner_mask, surf_src, surf_mask,
     corr = find_correspondences(
         corner_src, corner_mask, surf_src, surf_mask,
         corner_map, corner_map_mask, surf_map, surf_map_mask, p, q,
-        max_corr_dist)
+        max_corr_dist, surf_i=surf_i, surf_map_i=surf_map_i)
     re3, we, rp, wp = _residuals(corr, p, q)
     n_edge = jnp.sum(corr.edge_ok)
     n_plane = jnp.sum(corr.plane_ok)

@@ -82,19 +82,23 @@ class VoxelDownsample(NamedTuple):
 def voxel_downsample(pts: jnp.ndarray, mask: jnp.ndarray, leaf: float,
                      max_out: int, table_size: int = 1 << 18
                      ) -> VoxelDownsample:
-    """Centroid voxel downsample with static output capacity."""
+    """Centroid voxel downsample with static output capacity.
+
+    pts may be (N,3) xyz or (N,3+C) xyz + extra channels (e.g. intensity);
+    voxelization keys on xyz, all channels are voxel-averaged."""
     dtype = pts.dtype
-    c = voxel_coords(pts, leaf)
+    D = pts.shape[-1]
+    c = voxel_coords(pts[..., :3], leaf)
     h = hash_coords(c, table_size)
     w = mask.astype(dtype)
-    sums = jnp.zeros((table_size, 3), dtype).at[h].add(pts * w[:, None])
+    sums = jnp.zeros((table_size, D), dtype).at[h].add(pts * w[:, None])
     cnts = jnp.zeros((table_size,), dtype).at[h].add(w)
     occ = cnts > 0
     centroids = sums / jnp.maximum(cnts, 1.0)[:, None]
     # compact the occupied buckets into the first max_out slots
     rank = jnp.cumsum(occ) - 1                    # occupied bucket -> slot
     slot = jnp.where(occ, rank, max_out)          # drop overflow + empties
-    out = jnp.zeros((max_out, 3), dtype).at[slot].set(centroids, mode="drop")
+    out = jnp.zeros((max_out, D), dtype).at[slot].set(centroids, mode="drop")
     out_mask = jnp.zeros((max_out,), bool).at[slot].set(occ, mode="drop")
     return VoxelDownsample(pts=out, mask=out_mask)
 

@@ -42,7 +42,8 @@ _extract_jit = jax.jit(lfe.extract,
                        static_argnames=("n_subregions", "sharp_per_region",
                                         "less_sharp_per_region",
                                         "flat_per_region",
-                                        "curvature_threshold", "min_range"))
+                                        "curvature_threshold", "min_range",
+                                        "use_intensity_mask"))
 
 GRID_AZ = 1024
 
@@ -100,44 +101,68 @@ class VilSystem:
         return self.depth_register.get_depth(t, norm, valid, p_c, q_c)
 
     def process_lidar(self, t_start: float, pts: np.ndarray,
-                      valid: np.ndarray | None = None):
-        """One raw sweep through compensator → estimator → mapping."""
+                      valid: np.ndarray | None = None,
+                      reflectivity: np.ndarray | None = None):
+        """One raw sweep through compensator → estimator → mapping.
+
+        reflectivity: optional per-point sensor intensity; carried through
+        the LOAM chain (the reference's mapping nodes keep the original
+        intensity channel)."""
         sweep = self.compensator.process(t_start, pts, valid)
         self.lidar_sweep_count += 1
         out = self.estimator.process_lidar(t_start, sweep.pts,
                                            sweep.rel_time, sweep.mask)
         if out is None:
             return None
+        self._register_depth_cloud(out)
+        return self._map_lidar(sweep, out, reflectivity)
 
-        # deskewed world cloud → depth register (every 2nd sweep ≈ 5 Hz,
-        # feature_tracker_node.cpp:255)
+    def _register_depth_cloud(self, out):
+        """Deskewed world cloud → depth register (every 2nd sweep ≈ 5 Hz,
+        feature_tracker_node.cpp:255).  Owned by the estimator stage in the
+        async pipeline (the reference's DepthRegister subscribes to the
+        estimator's lidar_cloud topic)."""
         if self.lidar_sweep_count % 2 == 0:
             pts_l = np.asarray(out["pts"])[np.asarray(out["mask"])]
             R = np.asarray(lie.quat_to_mat(jnp.asarray(out["q_l"])))
             self.depth_register.add_cloud(out["t_end"],
                                           pts_l @ R.T + out["p_l"])
 
+    def _map_lidar(self, sweep, out, reflectivity=None, lps_sink=None):
+        """Post-estimator LiDAR path: LOAM feature extraction + local/
+        global mapping (the async pipeline runs this on the mapping stage;
+        lps_sink redirects the localizer feedback into a channel instead of
+        calling into the estimator from another thread)."""
         if self.local_mapper is None:
             return out
 
         # LOAM features from the full deskewed cloud (scanRegistration
         # re-ingests /vils_estimator/lidar_cloud)
         lc = self.cfg.lidar
-        grid, occ = _organize_jit(out["full_pts"],
-                                  jnp.asarray(sweep.ring),
-                                  jnp.asarray(sweep.rel_time),
-                                  out["full_mask"],
-                                  n_rings=lc.n_rings, n_azimuth=GRID_AZ,
-                                  scan_period=lc.scan_period)
-        feats = _extract_jit(grid, occ)
+        lm = self.cfg.local_mapping
+        inten = None if reflectivity is None else jnp.asarray(
+            reflectivity, jnp.float32)
+        grid, occ, igrid = _organize_jit(
+            out["full_pts"], jnp.asarray(sweep.ring),
+            jnp.asarray(sweep.rel_time), out["full_mask"],
+            n_rings=lc.n_rings, n_azimuth=GRID_AZ,
+            scan_period=lc.scan_period, intensity=inten)
+        feats = _extract_jit(
+            grid, occ, igrid,
+            use_intensity_mask=(lm.use_intensity
+                                and reflectivity is not None))
         sm = self.local_mapper.process(
             out["t_end"], feats.sharp, feats.sharp_mask,
             feats.less_flat, feats.less_flat_mask,
-            out["p_l"], out["q_l"])
+            out["p_l"], out["q_l"],
+            flat_i=(feats.less_flat_i if lm.use_intensity else None))
         if sm is not None and self.global_mapper is not None:
             info = self.global_mapper.add_submap(sm)
             # LPS feedback (the /laser_localizer → estimator loop)
-            self.estimator.process_lps(info["t"], info["p"], info["q"])
+            if lps_sink is None:
+                self.estimator.process_lps(info["t"], info["p"], info["q"])
+            else:
+                lps_sink((info["t"], info["p"], info["q"]))
         return out
 
     # ------------------------------------------------------------ outputs

@@ -12,11 +12,40 @@ Device arrays are stored as numpy and restored as jnp on load.
 
 from __future__ import annotations
 
+import io
 import pickle
 
 import jax
 import jax.numpy as jnp
 import numpy as np
+
+# Deserialization is restricted to the classes a checkpoint legitimately
+# contains: numpy/jax array reconstructors and this package's own state
+# types.  A tampered file can therefore not execute arbitrary callables
+# (the classic pickle RCE); it can at worst corrupt numeric state.
+_SAFE_MODULE_PREFIXES = ("mvil_fusion_tpu.",)
+_SAFE_GLOBALS = {
+    ("numpy._core.multiarray", "_reconstruct"),
+    ("numpy.core.multiarray", "_reconstruct"),
+    ("numpy._core.numeric", "_frombuffer"),
+    ("numpy.core.numeric", "_frombuffer"),
+    ("numpy._core.multiarray", "scalar"),
+    ("numpy.core.multiarray", "scalar"),
+    ("numpy", "ndarray"),
+    ("numpy", "dtype"),
+    ("jax._src.array", "_reconstruct_array"),
+    ("collections", "OrderedDict"),
+    ("builtins", "complex"),
+}
+
+
+class _RestrictedUnpickler(pickle.Unpickler):
+    def find_class(self, module, name):
+        if (module, name) in _SAFE_GLOBALS or module.startswith(
+                _SAFE_MODULE_PREFIXES):
+            return super().find_class(module, name)
+        raise pickle.UnpicklingError(
+            f"checkpoint contains disallowed global {module}.{name}")
 
 
 def _to_host(tree):
@@ -64,6 +93,7 @@ def save_system(system, path: str):
         blob["local"] = _to_host({
             "corner_map": lm.corner_map, "corner_mask": lm.corner_mask,
             "surf_map": lm.surf_map, "surf_mask": lm.surf_mask,
+            "surf_map_i": lm.surf_map_i,
             "p_corr": lm.p_corr, "q_corr": lm.q_corr,
             "initialized": lm.initialized,
             "accum_pts": lm.accum_pts,
@@ -98,7 +128,7 @@ def load_system(system, path: str):
     """Restore state saved by save_system into a freshly constructed
     system of the same configuration."""
     with open(path, "rb") as f:
-        blob = pickle.load(f)
+        blob = _RestrictedUnpickler(f).load()
     est = system.estimator if hasattr(system, "estimator") else system
     e = blob["estimator"]
     est.status = e["status"]
@@ -130,6 +160,8 @@ def load_system(system, path: str):
         L = _to_device(blob["local"])
         lm.corner_map, lm.corner_mask = L["corner_map"], L["corner_mask"]
         lm.surf_map, lm.surf_mask = L["surf_map"], L["surf_mask"]
+        if "surf_map_i" in L:
+            lm.surf_map_i = L["surf_map_i"]
         lm.p_corr, lm.q_corr = np.asarray(L["p_corr"]), np.asarray(L["q_corr"])
         lm.initialized = L["initialized"]
         lm.accum_pts = [np.asarray(x) for x in L["accum_pts"]]

@@ -25,7 +25,7 @@ def sweep_features(t0, n_azimuth=720):
         jnp.asarray(s["pts"]), jnp.asarray(s["rel_time"]),
         jnp.asarray(p0, jnp.float32), jnp.asarray(q0, jnp.float32),
         jnp.asarray(p1, jnp.float32), jnp.asarray(q1, jnp.float32), 0.1)
-    grid, occ = lfe.organize_grid(pts, jnp.asarray(s["ring"]),
+    grid, occ, _ = lfe.organize_grid(pts, jnp.asarray(s["ring"]),
                                   jnp.asarray(s["rel_time"]),
                                   jnp.asarray(s["mask"]), 16, n_azimuth, 0.1)
     feats = lfe.extract(grid, occ)
