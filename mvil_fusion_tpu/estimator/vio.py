@@ -182,6 +182,9 @@ class VIOEstimator:
         self.solve_info: dict = {}
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
+        # online extrinsic/td stream — the reference's ex_results.txt
+        # (estimator_node.cpp:312-336 pubEXresults)
+        self.ex_results: list[tuple] = []
         # LiDAR coupling (created lazily to keep mono-VIO light)
         self.lidar = None
         self.lps_list: list[tuple] = []   # (t, p_w, q_w) localizer feedback
@@ -704,6 +707,7 @@ class VIOEstimator:
             if fid is not None and not self.tracks[fid].depth_fixed:
                 self.tracks[fid].inv_depth = float(inv_h[s])
         self.trajectory.append((self.times[-1], p_h, q_h, v_h))
+        self._record_ex_results(self.times[-1])
 
         # marginalize + slide (the prior was computed inside the fused step)
         if self.marg_old:
@@ -714,6 +718,23 @@ class VIOEstimator:
             if prior_valid_host:
                 self.prior = prior_new
             self._slide(old=False)
+
+    def _record_ex_results(self, t: float):
+        """One row of the online extrinsic stream: camera-IMU ypr/t,
+        lidar-IMU ypr/t, td (reference pubEXresults,
+        estimator_node.cpp:312-336 — its EX_RESULT_PATH file)."""
+        ric = np.asarray(lie.quat_to_mat(jnp.asarray(self.state.qic)))
+        vi_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(ric, jnp.float32)))
+        vi_t = np.asarray(self.state.tic)
+        if self.lidar is not None:
+            li_ypr = np.asarray(lie.mat_to_ypr(
+                jnp.asarray(self.lidar.rlb, jnp.float32)))
+            li_t = np.asarray(self.lidar.tlb)
+        else:
+            li_ypr = np.zeros(3, np.float32)
+            li_t = np.zeros(3, np.float32)
+        self.ex_results.append((t, vi_ypr, vi_t, li_ypr, li_t,
+                                float(self.state.td)))
 
     def _reboot(self):
         """clearState + setParameter (reference estimator.cpp:588-597).

@@ -66,19 +66,22 @@ class LidarCompensator:
         self._start_hist: list[float] = []
 
     def _infer_start(self, pts: np.ndarray, valid: np.ndarray) -> float:
-        """Sweep-start azimuth = circular mean over the first points of
-        this sweep (drivers emit in capture order), smoothed over the last
-        10 sweeps."""
-        idx = np.nonzero(valid)[0][:32]
+        """Sweep-start azimuth from the first emitted point (drivers emit
+        in capture order), tracked over the last 10 sweeps.  The start is
+        the most counter-clockwise first-point azimuth seen — every
+        historical sweep start is then clockwise of (i.e. after) it, so
+        per-sweep jitter never wraps a first point to ~scan_period."""
+        idx = np.nonzero(valid)[0][:1]
         if len(idx) == 0:
             return self._start_hist[-1] if self._start_hist else 0.0
-        azi = np.arctan2(pts[idx, 1], pts[idx, 0])
-        est = float(np.arctan2(np.sin(azi).mean(), np.cos(azi).mean()))
+        est = float(np.arctan2(pts[idx[0], 1], pts[idx[0], 0]))
         self._start_hist.append(est)
         if len(self._start_hist) > 10:
             self._start_hist.pop(0)
         s = np.asarray(self._start_hist)
-        return float(np.arctan2(np.sin(s).mean(), np.cos(s).mean()))
+        mean = float(np.arctan2(np.sin(s).mean(), np.cos(s).mean()))
+        dev = (s - mean + np.pi) % (2.0 * np.pi) - np.pi
+        return mean + float(dev.max())
 
     def process(self, t_start: float, pts: np.ndarray,
                 valid: np.ndarray | None = None) -> CompensatedSweep:

@@ -29,15 +29,16 @@ FIXTURE_FX, FIXTURE_FY = 460.0, 460.0
 FIXTURE_CX, FIXTURE_CY = 320.0, 240.0
 
 
-def fixture_config():
+def fixture_config(fx: float = FIXTURE_FX, fy: float = FIXTURE_FY,
+                   cx: float = FIXTURE_CX, cy: float = FIXTURE_CY):
     """SystemConfig matching the fixture's sensor rig: ideal 460-focal
     pinhole, identity camera-IMU and lidar-IMU extrinsics, zero td (the
     analog of the per-bag YAML the reference ships per sensor rig)."""
     from mvil_fusion_tpu.config import (CameraConfig, EstimatorConfig,
                                         LidarConfig, SystemConfig)
     return SystemConfig(
-        camera=CameraConfig(fx=FIXTURE_FX, fy=FIXTURE_FY, cx=FIXTURE_CX,
-                            cy=FIXTURE_CY, k1=0.0, k2=0.0, p1=0.0, p2=0.0),
+        camera=CameraConfig(fx=fx, fy=fy, cx=cx, cy=cy,
+                            k1=0.0, k2=0.0, p1=0.0, p2=0.0),
         estimator=EstimatorConfig(
             ric=(1.0, 0.0, 0.0, 0.0, 1.0, 0.0, 0.0, 0.0, 1.0),
             tic=(0.0, 0.0, 0.0), td_init=0.0,
@@ -62,8 +63,14 @@ def record_fixture_bag(path: str, duration: float = 12.0,
                        seed: int = 0, compression: str = "bz2",
                        gt_path: str | None = None,
                        imu_noise: bool = True,
-                       width: int = 640, height: int = 480):
+                       width: int = 640, height: int = 480,
+                       fx: float | None = None, fy: float | None = None,
+                       cx: float | None = None, cy: float | None = None):
     """Record the fixture bag; returns the SyntheticWorld used."""
+    fx = FIXTURE_FX if fx is None else fx
+    fy = FIXTURE_FY if fy is None else fy
+    cx = FIXTURE_CX if cx is None else cx
+    cy = FIXTURE_CY if cy is None else cy
     rng = np.random.default_rng(seed)
     traj = SyntheticTrajectory(duration=duration + 0.5,
                                w_amp=(0.45, 0.4, 0.5),
@@ -92,8 +99,7 @@ def record_fixture_bag(path: str, duration: float = 12.0,
 
     # images (ideal pinhole at the fixture intrinsics)
     for t in np.arange(0.2, duration, 1.0 / image_hz):
-        img = world.render_image(t, ric, tic, fx=FIXTURE_FX, fy=FIXTURE_FY,
-                                 cx=FIXTURE_CX, cy=FIXTURE_CY,
+        img = world.render_image(t, ric, tic, fx=fx, fy=fy, cx=cx, cy=cy,
                                  width=width, height=height)
         w.write(IMAGE_TOPIC, t, rb.encode_image(t, img))
 

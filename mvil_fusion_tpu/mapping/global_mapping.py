@@ -64,6 +64,8 @@ class GlobalMapper:
                                 np.float32)
         self.sc_keys = np.zeros((N_MAX, g.sc_num_ring), np.float32)
         self._since_last_close = 10**9
+        self.map_refreshes = 0   # z-jump-triggered re-solves (reference
+        #                          globalMappingIkdTree.cpp:290-298)
 
     # ------------------------------------------------------------- helpers
 
@@ -128,14 +130,69 @@ class GlobalMapper:
             e_mask=self.graph.e_mask.at[e].set(True))
         self.n_edges += 1
 
+    def _evict_oldest(self, k: int):
+        """Drop the k oldest keyed scans when the graph hits capacity
+        (the reference's unbounded iSAM grows forever; here the bounded
+        store evicts instead of asserting).  Node indices shift by -k;
+        edges/priors touching evicted nodes are dropped."""
+        k = min(k, self.n_nodes)
+        n = self.n_nodes
+        p = np.array(self.graph.p)
+        q = np.array(self.graph.q)
+        nm = np.array(self.graph.node_mask)
+        p[: n - k], q[: n - k], nm[: n - k] = (p[k:n].copy(), q[k:n].copy(),
+                                               nm[k:n].copy())
+        p[n - k:], q[n - k:], nm[n - k:] = 0.0, [1, 0, 0, 0], False
+
+        e_i = np.array(self.graph.e_i)
+        e_j = np.array(self.graph.e_j)
+        e_dp = np.array(self.graph.e_dp)
+        e_dq = np.array(self.graph.e_dq)
+        e_w = np.array(self.graph.e_w)
+        keep = np.nonzero((e_i >= k) & (e_j >= k)
+                          & np.asarray(self.graph.e_mask))[0]
+        ne = len(keep)
+        e_mask = np.zeros_like(np.asarray(self.graph.e_mask))
+        e_i[:ne], e_j[:ne] = e_i[keep] - k, e_j[keep] - k
+        e_dp[:ne], e_dq[:ne], e_w[:ne] = e_dp[keep], e_dq[keep], e_w[keep]
+        e_mask[:ne] = True
+
+        z_node = np.array(self.graph.z_node)
+        z_val = np.array(self.graph.z_val)
+        z_w = np.array(self.graph.z_w)
+        zkeep = np.nonzero((z_node >= k) & np.asarray(self.graph.z_mask))[0]
+        nz = len(zkeep)
+        z_mask = np.zeros_like(np.asarray(self.graph.z_mask))
+        z_node[:nz], z_val[:nz], z_w[:nz] = (z_node[zkeep] - k,
+                                             z_val[zkeep], z_w[zkeep])
+        z_mask[:nz] = True
+
+        self.graph = self.graph._replace(
+            p=jnp.asarray(p), q=jnp.asarray(q), node_mask=jnp.asarray(nm),
+            e_i=jnp.asarray(e_i), e_j=jnp.asarray(e_j),
+            e_dp=jnp.asarray(e_dp), e_dq=jnp.asarray(e_dq),
+            e_w=jnp.asarray(e_w), e_mask=jnp.asarray(e_mask),
+            z_node=jnp.asarray(z_node), z_val=jnp.asarray(z_val),
+            z_w=jnp.asarray(z_w), z_mask=jnp.asarray(z_mask))
+        self.n_nodes, self.n_edges, self.n_z = n - k, ne, nz
+        del self.scans[:k], self.scan_masks[:k]
+        del self.times[:k], self.floor_ids[:k]
+        self.sc_desc[: n - k] = self.sc_desc[k:n].copy()
+        self.sc_desc[n - k:] = 0.0
+        self.sc_keys[: n - k] = self.sc_keys[k:n].copy()
+        self.sc_keys[n - k:] = 0.0
+        self.loop_pairs = [(a - k, b - k) for a, b in self.loop_pairs
+                           if a >= k and b >= k]
+
     # ------------------------------------------------------------- main API
 
     def add_submap(self, sm: Submap) -> dict:
         """Process one keyed submap; returns localization info (the
         /laser_localizer feedback for the estimator's LPS)."""
         g = self.cfg.global_mapping
+        if self.n_nodes >= N_MAX:
+            self._evict_oldest(N_MAX // 4)
         i = self.n_nodes
-        assert i < N_MAX, "pose-graph capacity exceeded"
         scan, scan_mask = self._pad_scan(sm.pts)
 
         if i == 0:
@@ -222,6 +279,16 @@ class GlobalMapper:
             self.loops_closed += 1
             self._since_last_close = 0
             self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+        elif i > 0 and abs(float(p_new[2])
+                           - float(self.graph.p[i - 1, 2])) > 0.5:
+            # z-jump (floor transition / drift): re-solve so the floor
+            # priors engage and subsequent reference maps use corrected
+            # poses — the analog of the reference's ikd-tree rebuild from
+            # maximum-likelihood points (globalMappingIkdTree.cpp:290-298;
+            # our reference map is scatter-rebuilt from graph poses per
+            # query, so re-solving *is* the map refresh)
+            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+            self.map_refreshes += 1
 
         p_fin, q_fin = self._node_pose(i)
         return dict(node=i, p=p_fin, q=q_fin, t=sm.t, floor=fid,

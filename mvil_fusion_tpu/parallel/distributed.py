@@ -33,18 +33,26 @@ def init(coordinator: str | None = None, num_processes: int = 1,
     return jax.devices(), len(jax.devices())
 
 
-def smoke(n_local: int | None = None):
-    """Allreduce smoke test over the global mesh (run after init)."""
+def smoke(n_local: int | None = None) -> int:
+    """Allreduce smoke test over the global mesh (run after init).
+
+    Each process feeds its local slice of arange(n_devices); a psum over the
+    mesh must see every device's value — the minimal proof the collective
+    fabric (ICI single-host, DCN multi-host) is actually wired."""
+    import jax.numpy as jnp
     import numpy as np
-    from jax.sharding import PartitionSpec as P
+    from jax.sharding import NamedSharding, PartitionSpec as P
     from mvil_fusion_tpu.parallel.mesh import make_mesh
 
     mesh = make_mesh(n_local)
     n = len(mesh.devices.ravel())
-    x = jax.device_put(np.arange(n, dtype=np.float32),
-                       jax.sharding.NamedSharding(mesh, P("f")))
+    data = np.arange(n, dtype=np.float32)
+    # make_array_from_callback builds the global array from each process's
+    # addressable shards — works single- and multi-process alike
+    x = jax.make_array_from_callback(
+        (n,), NamedSharding(mesh, P("f")), lambda idx: data[idx])
     total = jax.jit(
-        jax.shard_map(lambda v: jax.lax.psum(jnp_sum(v), "f"),
+        jax.shard_map(lambda v: jax.lax.psum(jnp.sum(v), "f"),
                       mesh=mesh, in_specs=P("f"), out_specs=P(),
                       check_vma=False))(x)
     expect = n * (n - 1) / 2
@@ -52,17 +60,18 @@ def smoke(n_local: int | None = None):
     return n
 
 
-def jnp_sum(v):
-    import jax.numpy as jnp
-    return jnp.sum(v)
-
-
 if __name__ == "__main__":
     ap = argparse.ArgumentParser()
     ap.add_argument("--coordinator", default=None)
     ap.add_argument("--num-processes", type=int, default=1)
     ap.add_argument("--process-id", type=int, default=0)
+    ap.add_argument("--platform", default=None,
+                    help="force a backend (e.g. cpu) before init — this "
+                    "environment's sitecustomize registers a TPU plugin "
+                    "that overrides the JAX_PLATFORMS env var")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     devs, n = init(args.coordinator, args.num_processes, args.process_id)
     print(f"process {args.process_id}: {n} global devices")
     print(f"allreduce smoke over {smoke()} devices OK")

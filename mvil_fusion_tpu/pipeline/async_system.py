@@ -27,7 +27,7 @@ from typing import Iterable, Optional
 import numpy as np
 
 from mvil_fusion_tpu.pipeline.channels import Channel, Closed, Policy
-from mvil_fusion_tpu.pipeline.runner import Pipeline
+from mvil_fusion_tpu.pipeline.runner import MultiOut, Pipeline
 
 
 def build_pipeline(system, deterministic: bool = False) -> Pipeline:
@@ -55,6 +55,15 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
             return ("sweep", t, (sweep, reflectivity))
         return None
 
+    def _drain_to_mapping(t):
+        """Release every sweep the window now covers (the system's l_buf
+        analog) as lidar_out messages for the mapping stage."""
+        outs = []
+        for sweep_, out, refl in system._drain_sweeps():
+            system._register_depth_cloud(out)
+            outs.append(("lidar_out", t, (sweep_, out, refl)))
+        return MultiOut(outs) if outs else None
+
     def estimator(msg):
         # drain LPS feedback first (non-blocking)
         while True:
@@ -76,16 +85,12 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
             depth = system._feature_depths(t, norm,
                                            np.ones(len(ids), bool))
             system.estimator.process_features(t, ids, norm, vel, depth)
-            return None
+            return _drain_to_mapping(t)   # window advanced
         if kind == "sweep":
             sweep, reflectivity = payload
             system.lidar_sweep_count += 1
-            out = system.estimator.process_lidar(
-                sweep.t_start, sweep.pts, sweep.rel_time, sweep.mask)
-            if out is None:
-                return None
-            system._register_depth_cloud(out)
-            return ("lidar_out", t, (sweep, out, reflectivity))
+            system._pending_sweeps.append((sweep, reflectivity))
+            return _drain_to_mapping(t)
         return None
 
     def mapping(msg):

@@ -19,6 +19,11 @@ from typing import Callable, Optional
 from mvil_fusion_tpu.pipeline.channels import Channel, Closed, Policy
 
 
+class MultiOut(list):
+    """A stage may return MultiOut([...]) to emit several downstream items
+    from one input (e.g. draining a buffer)."""
+
+
 @dataclass
 class Stage:
     name: str
@@ -61,7 +66,8 @@ class Pipeline:
                 res = st.fn(item)
                 st.processed += 1
                 if res is not None and st.outbox is not None:
-                    st.outbox.put(res)
+                    for r in (res if isinstance(res, MultiOut) else [res]):
+                        st.outbox.put(r)
             except Exception:  # stage errors must not kill the pipeline
                 st.errors.append(traceback.format_exc())
 
@@ -96,7 +102,9 @@ class Pipeline:
                     res = st.fn(item)
                     st.processed += 1
                     if res is not None and st.outbox is not None:
-                        st.outbox.put(res)
+                        for r in (res if isinstance(res, MultiOut)
+                                  else [res]):
+                            st.outbox.put(r)
                 except Exception:
                     st.errors.append(traceback.format_exc())
 

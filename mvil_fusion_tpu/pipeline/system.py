@@ -62,6 +62,10 @@ class VilSystem:
         self.local_mapper = LocalMapper(cfg) if enable_mapping else None
         self.global_mapper = GlobalMapper(cfg) if enable_mapping else None
         self.lidar_sweep_count = 0
+        # sweeps waiting for the VIO window to cover their time span (the
+        # reference's l_buf: the lidar thread holds clouds until fresh
+        # odometry brackets them, estimator_node.cpp:338-376)
+        self._pending_sweeps: list = []
 
     # ----------------------------------------------------------- sensors
 
@@ -72,6 +76,7 @@ class VilSystem:
         """Direct feature injection (when an external tracker is used)."""
         depth = self._feature_depths(t, norm, np.ones(len(ids), bool))
         self.estimator.process_features(t, ids, norm, vel, depth)
+        self._pump_lidar()
 
     def process_image(self, t: float, img: np.ndarray):
         assert self.tracker is not None, "system built without tracker"
@@ -83,6 +88,7 @@ class VilSystem:
         vel = frame.vel[frame.valid]
         depth = self._feature_depths(t, norm, np.ones(len(ids), bool))
         self.estimator.process_features(t, ids, norm, vel, depth)
+        self._pump_lidar()
 
     def _feature_depths(self, t, norm, valid):
         """LiDAR-aided feature depth (the reference's DepthRegister path,
@@ -110,12 +116,47 @@ class VilSystem:
         intensity channel)."""
         sweep = self.compensator.process(t_start, pts, valid)
         self.lidar_sweep_count += 1
-        out = self.estimator.process_lidar(t_start, sweep.pts,
-                                           sweep.rel_time, sweep.mask)
-        if out is None:
-            return None
-        self._register_depth_cloud(out)
-        return self._map_lidar(sweep, out, reflectivity)
+        self._pending_sweeps.append((sweep, reflectivity))
+        res = None
+        for sweep_, out, refl in self._drain_sweeps():
+            self._register_depth_cloud(out)
+            res = self._map_lidar(sweep_, out, refl)
+        return res
+
+    def _drain_sweeps(self):
+        """Process every buffered sweep the VIO window now covers; drop
+        sweeps that fell off the window (the reference's stale-cloud
+        load-shedding)."""
+        est = self.estimator
+        done = []
+        if est.status != est.NON_LINEAR or est.lidar is None:
+            self._pending_sweeps = self._pending_sweeps[-5:]
+            return done
+        n_t = min(len(est.times), est.W)
+        times = est.times[:n_t]
+        if not times:
+            return done
+        period = self.cfg.lidar.scan_period
+        keep = []
+        for sweep, refl in self._pending_sweeps:
+            t_end = sweep.t_start + period
+            if sweep.t_start < times[0]:
+                continue                      # stale — drop
+            if t_end > times[-1]:
+                keep.append((sweep, refl))    # too new — wait for frames
+                continue
+            out = est.process_lidar(sweep.t_start, sweep.pts,
+                                    sweep.rel_time, sweep.mask)
+            if out is not None:
+                done.append((sweep, out, refl))
+        self._pending_sweeps = keep
+        return done
+
+    def _pump_lidar(self):
+        """Drain newly-bracketed sweeps after the window advanced."""
+        for sweep_, out, refl in self._drain_sweeps():
+            self._register_depth_cloud(out)
+            self._map_lidar(sweep_, out, refl)
 
     def _register_depth_cloud(self, out):
         """Deskewed world cloud → depth register (every 2nd sweep ≈ 5 Hz,
@@ -192,3 +233,10 @@ class VilSystem:
             dump(prefix + "Midend.txt", self.local_mapper.trajectory)
         if self.global_mapper:
             dump(prefix + "Backend.txt", self.global_mapper.trajectory())
+        # online extrinsic stream (reference ex_results.txt,
+        # estimator_node.cpp:312-336): t, cam-IMU ypr+t, lidar-IMU ypr+t, td
+        with open(prefix + "ex_results.txt", "w") as f:
+            for t, vi_ypr, vi_t, li_ypr, li_t, td in self.estimator.ex_results:
+                vals = [*vi_ypr, *vi_t, *li_ypr, *li_t, td]
+                f.write(f"{t:.6f} " + " ".join(f"{v:.6f}" for v in vals)
+                        + "\n")

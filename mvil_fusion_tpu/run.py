@@ -49,10 +49,16 @@ def build_parser() -> argparse.ArgumentParser:
                     help="run stages concurrently on the async pipeline")
     ap.add_argument("--max-sensor-time", type=float, default=None,
                     help="stop after this many seconds of sensor data")
+    ap.add_argument("--platform", default=None,
+                    help="force a JAX backend (e.g. cpu); needed because "
+                    "this environment's TPU plugin overrides JAX_PLATFORMS")
     return ap
 
 
 def run(args) -> dict:
+    if getattr(args, "platform", None):
+        import jax
+        jax.config.update("jax_platforms", args.platform)
     cfg = (SystemConfig.from_json(args.config) if args.config
            else SystemConfig())
     system = VilSystem(cfg, use_tracker=True,

@@ -3,6 +3,7 @@ pipeline (tracker bypassed; features injected directly) — config 3 of
 BASELINE.json at reduced scale."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mvil_fusion_tpu.config import LidarConfig, LocalMappingConfig, SystemConfig
@@ -10,6 +11,8 @@ from mvil_fusion_tpu.estimator.vio import VIOEstimator
 from mvil_fusion_tpu.io.synthetic import SyntheticTrajectory, SyntheticWorld
 from mvil_fusion_tpu.io.synthetic_lidar import BoxWorld, simulate_sweep
 from mvil_fusion_tpu.pipeline.system import VilSystem
+
+pytestmark = pytest.mark.slow  # full e2e ladder; fast subset: -m 'not slow'
 
 from test_vio_e2e import align_umeyama_4dof, make_cfg as make_mono_cfg
 

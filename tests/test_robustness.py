@@ -2,12 +2,15 @@
 injection → reboot → re-initialization, LPS feedback pull."""
 
 import numpy as np
+import pytest
 import jax.numpy as jnp
 
 from mvil_fusion_tpu.config import EstimatorConfig, ImuConfig, SystemConfig
 from mvil_fusion_tpu.estimator.vio import VIOEstimator
 from mvil_fusion_tpu.estimator import lidar_factors as lfac
 from mvil_fusion_tpu.utils import lie
+
+pytestmark = pytest.mark.slow  # full e2e ladder; fast subset: -m 'not slow'
 
 from test_vio_e2e import align_umeyama_4dof, make_world
 

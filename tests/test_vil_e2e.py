@@ -2,6 +2,7 @@
 data (config 2 of BASELINE.json — full VIL odometry)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -12,6 +13,8 @@ from mvil_fusion_tpu.estimator.vio import VIOEstimator
 from mvil_fusion_tpu.io.synthetic import SyntheticTrajectory, SyntheticWorld
 from mvil_fusion_tpu.io.synthetic_lidar import BoxWorld, simulate_sweep
 from mvil_fusion_tpu.utils import lie
+
+pytestmark = pytest.mark.slow  # full e2e ladder; fast subset: -m 'not slow'
 
 from test_vio_e2e import align_umeyama_4dof, make_cfg as make_mono_cfg
 
