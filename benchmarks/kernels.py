@@ -34,8 +34,28 @@ def main():
 
     rows = []
 
+    # ---- KLT tracker, one full 640x480 image program (CLAHE + pyramid +
+    # LK + F-RANSAC + mask/refill; reference feature_tracker.cpp:81-167)
+    from mvil_fusion_tpu.frontend.feature_tracker import FeatureTracker
+    from mvil_fusion_tpu.io.fixture import fixture_config
+    from mvil_fusion_tpu.io.synthetic import (SyntheticTrajectory as _ST,
+                                              SyntheticWorld as _SW)
+    _w = _SW(traj=_ST(duration=2.0), n_landmarks=600, landmark_radius=8.0)
+    _eye, _z = np.eye(3), np.zeros(3)
+    imgs = [_w.render_image(0.2 + i / 30.0, _eye, _z, fx=460.0, fy=460.0,
+                            cx=320.0, cy=240.0, width=640, height=480)
+            for i in range(3)]
+    trk = FeatureTracker(fixture_config())
+    trk.process(0.15, imgs[0])
+    trk.process(0.2, imgs[1])      # warm both program variants
+    _tk = [0.2]
+
+    def f_trk():
+        _tk[0] += 1.0 / 30.0
+        return trk.process(_tk[0], imgs[int(_tk[0] * 30) % 3])
+    rows.append(("klt_tracker 640x480 (whole image)", timeit(f_trk)))
+
     # ---- window BA fused frame step
-    from bench import main as _  # noqa: F401  (reuse problem builder below)
     from mvil_fusion_tpu.estimator import ba, factors as fac
     from mvil_fusion_tpu.estimator import lidar_factors as lfac, vio
     from mvil_fusion_tpu.ops import preintegration as pre

@@ -38,6 +38,43 @@ _build_map_jit = jax.jit(voxel.build_gaussian_voxel_map,
 _vgicp_jit = jax.jit(vgicp.vgicp_align,
                      static_argnames=("iters", "max_corr_dist", "eps"))
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("iters", "max_corr_dist"))
+def _reg_pack_jit(reg_pts, reg_mask, prev_vmap, cur_vmap,
+                  pl_p, ql_p, pl_e, ql_e, prev_p_w, prev_q_w,
+                  cur_p_w, cur_q_w, rlb, tlb, iters, max_corr_dist):
+    """Registration + every scalar/vector the host's constraint-mode
+    classification and calibration bookkeeping consume, packed into ONE
+    (46,) array so a sweep costs a single blocking readback (the tunnel
+    round-trip is ~45 ms; a dozen separate fetches would dominate the
+    whole lidar path)."""
+    dtype = jnp.float32
+    p_rel, q_rel = lie.pose_between(pl_p, ql_p, pl_e, ql_e)
+    res = vgicp.vgicp_align(reg_pts, reg_mask, prev_vmap, cur_vmap,
+                            p_rel.astype(dtype), q_rel.astype(dtype),
+                            iters=iters, max_corr_dist=max_corr_dist)
+    yaw = jnp.abs(jnp.degrees(lie.mat_to_ypr(lie.quat_to_mat(q_rel))[0]))
+    n_src = jnp.sum(reg_mask).astype(dtype)
+    R_icp = lie.quat_to_mat(res.q)
+    Rb = rlb @ R_icp @ rlb.T
+    tb_ = rlb @ res.p + tlb - Rb @ tlb
+    q_b_icp = lie.mat_to_quat(Rb)
+    q_b_rel = lie.quat_mul(lie.quat_conj(prev_q_w), cur_q_w)
+    t_b_rel = lie.quat_rotate_inv(prev_q_w, cur_p_w - prev_p_w)
+    return jnp.concatenate([
+        res.p.astype(dtype), res.q.astype(dtype),          # 0:3, 3:7
+        jnp.stack([res.fitness.astype(dtype),
+                   res.n_corr.astype(dtype), n_src,
+                   yaw.astype(dtype)]),                    # 7:11
+        p_rel.astype(dtype), q_rel.astype(dtype),          # 11:14, 14:18
+        tb_.astype(dtype), q_b_icp.astype(dtype),          # 18:21, 21:25
+        q_b_rel.astype(dtype), t_b_rel.astype(dtype),      # 25:29, 29:32
+        pl_e.astype(dtype), ql_e.astype(dtype),            # 32:35, 35:39
+        cur_p_w.astype(dtype), cur_q_w.astype(dtype),      # 39:42, 42:46
+    ])
+
 
 def lidar_align(q_l: jnp.ndarray, t_l: jnp.ndarray, t_b: jnp.ndarray,
                 q_b: jnp.ndarray, q_lb0: jnp.ndarray,
@@ -206,14 +243,14 @@ class LidarFrontend:
 
         out = dict(t_end=t_end, pts=down.pts, mask=down.mask,
                    full_pts=undist, full_mask=jnp.asarray(mask),
-                   p_l=np.asarray(pl_e), q_l=np.asarray(ql_e), mode=0)
+                   p_l=pl_e, q_l=ql_e, mode=0)
 
         prev = self.prev
         cur = KeySweep(t_end=t_end, pts=down.pts, mask=down.mask,
                        reg_pts=reg_src.pts, reg_mask=reg_src.mask,
                        vmap=vmap_new,
                        bracket=(window_times[be[0]], window_times[be[1]]),
-                       p_w=np.asarray(p_be), q_w=np.asarray(q_be))
+                       p_w=p_be, q_w=q_be)
         if prev is None:
             self.prev = cur
             return out
@@ -225,32 +262,32 @@ class LidarFrontend:
         # time goes stale as the window re-optimizes.
         bp = self.find_bracket(window_times, prev.t_end)
         if bp is not None:
-            p_bp, q_bp = interp(bp, prev.t_end)
-            prev_p_w, prev_q_w = np.asarray(p_bp), np.asarray(q_bp)
+            prev_p_w, prev_q_w = interp(bp, prev.t_end)
         else:
-            prev_p_w, prev_q_w = prev.p_w, prev.q_w
-        pl_p, ql_p = self._body_to_lidar_pose(jnp.asarray(prev_p_w),
-                                              jnp.asarray(prev_q_w))
-        p_rel, q_rel = lie.pose_between(pl_p, ql_p, pl_e, ql_e)
+            prev_p_w, prev_q_w = (jnp.asarray(prev.p_w),
+                                  jnp.asarray(prev.q_w))
+        pl_p, ql_p = self._body_to_lidar_pose(prev_p_w, prev_q_w)
 
-        res = _vgicp_jit(cur.reg_pts, cur.reg_mask, prev.vmap, cur.vmap,
-                         p_rel.astype(jnp.float32),
-                         q_rel.astype(jnp.float32),
-                         iters=lc.vgicp_iters,
-                         max_corr_dist=lc.max_corr_dist)
-        fitness = float(res.fitness)
-        n_corr = int(res.n_corr)
-        t_icp = np.asarray(res.p)
-        q_icp = np.asarray(res.q)
+        # one device program, ONE blocking fetch for the whole sweep
+        hp = np.asarray(_reg_pack_jit(
+            cur.reg_pts, cur.reg_mask, prev.vmap, cur.vmap,
+            pl_p, ql_p, pl_e, ql_e,
+            jnp.asarray(prev_p_w), jnp.asarray(prev_q_w),
+            jnp.asarray(p_be), jnp.asarray(q_be),
+            jnp.asarray(self.rlb), jnp.asarray(self.tlb),
+            iters=lc.vgicp_iters, max_corr_dist=lc.max_corr_dist))
+        t_icp, q_icp = hp[0:3], hp[3:7]
+        fitness = float(hp[7])
+        n_corr = int(hp[8])
+        n_src = int(hp[9])
+        yaw_guess = abs(float(hp[10]))
+        p_rel_h = hp[11:14]
 
         # ---- constraint-mode classification (estimator.cpp:324-436);
         # additionally gate on correspondence count — with too few matched
         # voxels the registration is unconstrained garbage
-        diff_t = float(np.abs(np.asarray(p_rel) - t_icp).sum())
+        diff_t = float(np.abs(p_rel_h - t_icp).sum())
         icp_t_l1 = float(np.abs(t_icp).sum())
-        yaw_guess = abs(float(np.degrees(np.asarray(
-            lie.mat_to_ypr(lie.quat_to_mat(q_rel)))[0])))
-        n_src = int(jnp.sum(cur.reg_mask))
         icp_good = (fitness < lc.fitness_fail
                     and n_corr >= max(50, int(0.4 * n_src)))
         if icp_good and diff_t > 0.1:
@@ -267,11 +304,10 @@ class LidarFrontend:
         self.last_mode = mode
         out["mode"] = mode
 
-        # body-frame measured relative translation (EX_LB⁻¹ T EX_LB)
-        R_icp = np.asarray(lie.quat_to_mat(jnp.asarray(q_icp)))
-        Rb = self.rlb @ R_icp @ self.rlb.T
-        tb_ = self.rlb @ t_icp + self.tlb - Rb @ self.tlb
-        q_b_icp = np.asarray(lie.mat_to_quat(jnp.asarray(Rb, jnp.float32)))
+        # body-frame measured relative translation (EX_LB⁻¹ T EX_LB) —
+        # computed inside _reg_pack_jit, read from the pack
+        tb_ = hp[18:21]
+        q_b_icp = hp[21:25]
 
         rec = IcpRecord(
             mode=mode, t_i=prev.t_end, t_j=t_end,
@@ -287,7 +323,8 @@ class LidarFrontend:
         # zero-velocity bookkeeping (estimator.cpp:388-412)
         if mode == 4:
             if self.first_zv:
-                self.zv_pose = (prev.p_w.copy(), prev.q_w.copy())
+                self.zv_pose = (np.asarray(prev.p_w).copy(),
+                                np.asarray(prev.q_w).copy())
                 self.first_zv = False
                 while len(self.constraints) > 1:
                     self.constraints.pop(0)
@@ -300,11 +337,8 @@ class LidarFrontend:
 
         # LI extrinsic calibration data (rotation pairs weighted by fitness)
         if not self.calibrated and mode in (2, 3):
-            q_b_rel = np.asarray(lie.quat_mul(lie.quat_conj(
-                jnp.asarray(prev.q_w)), jnp.asarray(cur.q_w)))
-            t_b_rel = np.asarray(lie.quat_rotate_inv(
-                jnp.asarray(prev.q_w),
-                jnp.asarray(cur.p_w - prev.p_w)))
+            q_b_rel = hp[25:29]
+            t_b_rel = hp[29:32]
             self.calib_q_b.append(q_b_rel)
             self.calib_q_l.append(q_icp)
             self.calib_t_b.append(t_b_rel)

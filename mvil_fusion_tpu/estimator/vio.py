@@ -83,7 +83,14 @@ def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
         prior_new = ba.marginalize_old(s_new, prob, focal)
     else:
         prior_new = ba.marginalize_second_new(s_new, prob)
-    return s_new, prior_new, metrics, res.cost1
+
+    # everything the host consumes per frame, packed into ONE array so the
+    # steady-state loop pays exactly one tunnel round-trip per frame:
+    # [metrics(5) cost(1) p(3) q(4) v(3) tic(3) qic(4) td(1) inv_depth(F)]
+    host_pack = jnp.concatenate([
+        metrics, res.cost1[None], s_new.p[-1], s_new.q[-1], s_new.v[-1],
+        s_new.tic, s_new.qic, s_new.td[None], s_new.inv_depth])
+    return s_new, prior_new, metrics, res.cost1, host_pack
 
 
 def _extras_body(s, icp_tab, lps_tab, zero_vel):
@@ -92,6 +99,25 @@ def _extras_body(s, icp_tab, lps_tab, zero_vel):
     J3, r3 = lfac.zero_velocity_system(s, zero_vel)
     return (jnp.concatenate([J1, J2, J3], axis=0),
             jnp.concatenate([r1, r2, r3], axis=0))
+
+
+def _np_mat_to_ypr(R: np.ndarray) -> np.ndarray:
+    """Host-side copy of lie.mat_to_ypr (ZYX radians) — keeps per-frame
+    bookkeeping off the device."""
+    yaw = np.arctan2(R[1, 0], R[0, 0])
+    pitch = np.arctan2(-R[2, 0], R[0, 0] * np.cos(yaw) + R[1, 0] * np.sin(yaw))
+    roll = np.arctan2(R[0, 2] * np.sin(yaw) - R[1, 2] * np.cos(yaw),
+                      -R[0, 1] * np.sin(yaw) + R[1, 1] * np.cos(yaw))
+    return np.asarray([yaw, pitch, roll], np.float32)
+
+
+def _np_quat_to_ypr(q: np.ndarray) -> np.ndarray:
+    w, x, y, z = q
+    R = np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+    return _np_mat_to_ypr(R)
 
 
 @dataclass
@@ -182,6 +208,7 @@ class VIOEstimator:
         self.solve_info: dict = {}
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
+        self.last_pose_host = None   # (p, q, tic, qic) from the last solve
         # online extrinsic/td stream — the reference's ex_results.txt
         # (estimator_node.cpp:312-336 pubEXresults)
         self.ex_results: list[tuple] = []
@@ -683,7 +710,7 @@ class VIOEstimator:
             lps_tab = lfac.empty_lps()
 
         prior_valid_host = bool(self._prior_valid)
-        s_new, prior_new, metrics, cost1 = _frame_step_jit(
+        s_new, prior_new, metrics, cost1, host_pack = _frame_step_jit(
             self.state, feats, jnp.asarray(need_depth),
             accs, gyrs, dts, imu_masks,
             self.prior, self.gravity, self.noise_cov,
@@ -691,11 +718,14 @@ class VIOEstimator:
             focal=e.focal_length, iters=e.max_solver_iters,
             marg_old=self.marg_old)
 
-        # ONE coalesced host readback for everything the host needs
-        m_h, c_h, p_h, q_h, v_h, inv_h = jax.device_get(
-            (metrics, cost1, s_new.p[W - 1], s_new.q[W - 1],
-             s_new.v[W - 1], s_new.inv_depth))
-        ban, bgn, dp, dz, finite = m_h
+        # ONE blocking readback per frame (the pack is assembled on device;
+        # separate fetches each pay the ~45 ms tunnel round-trip)
+        hp = np.asarray(host_pack)
+        ban, bgn, dp, dz, finite = hp[0:5]
+        c_h = hp[5]
+        p_h, q_h, v_h = hp[6:9], hp[9:13], hp[13:16]
+        tic_h, qic_h, td_h = hp[16:19], hp[19:23], float(hp[23])
+        inv_h = hp[24:]
         if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
                 or dp > e.fail_trans_jump or dz > e.fail_z_jump):
             self._reboot()
@@ -707,7 +737,10 @@ class VIOEstimator:
             if fid is not None and not self.tracks[fid].depth_fixed:
                 self.tracks[fid].inv_depth = float(inv_h[s])
         self.trajectory.append((self.times[-1], p_h, q_h, v_h))
-        self._record_ex_results(self.times[-1])
+        # newest pose for host consumers (depth register camera pose) —
+        # saves them a device fetch
+        self.last_pose_host = (p_h, q_h, tic_h, qic_h)
+        self._record_ex_results(self.times[-1], tic_h, qic_h, td_h)
 
         # marginalize + slide (the prior was computed inside the fused step)
         if self.marg_old:
@@ -719,22 +752,28 @@ class VIOEstimator:
                 self.prior = prior_new
             self._slide(old=False)
 
-    def _record_ex_results(self, t: float):
+    def _record_ex_results(self, t: float, tic=None, qic=None, td=None):
         """One row of the online extrinsic stream: camera-IMU ypr/t,
         lidar-IMU ypr/t, td (reference pubEXresults,
-        estimator_node.cpp:312-336 — its EX_RESULT_PATH file)."""
-        ric = np.asarray(lie.quat_to_mat(jnp.asarray(self.state.qic)))
-        vi_ypr = np.asarray(lie.mat_to_ypr(jnp.asarray(ric, jnp.float32)))
-        vi_t = np.asarray(self.state.tic)
+        estimator_node.cpp:312-336 — its EX_RESULT_PATH file).
+
+        Pure host math on values already fetched in the per-frame pack —
+        no extra device round-trips."""
+        if tic is None:
+            tic = np.asarray(self.state.tic)
+        if qic is None:
+            qic = np.asarray(self.state.qic)
+        if td is None:
+            td = float(self.state.td)
+        vi_ypr = _np_quat_to_ypr(np.asarray(qic, np.float64))
         if self.lidar is not None:
-            li_ypr = np.asarray(lie.mat_to_ypr(
-                jnp.asarray(self.lidar.rlb, jnp.float32)))
+            li_ypr = _np_mat_to_ypr(np.asarray(self.lidar.rlb, np.float64))
             li_t = np.asarray(self.lidar.tlb)
         else:
             li_ypr = np.zeros(3, np.float32)
             li_t = np.zeros(3, np.float32)
-        self.ex_results.append((t, vi_ypr, vi_t, li_ypr, li_t,
-                                float(self.state.td)))
+        self.ex_results.append((t, vi_ypr, np.asarray(tic), li_ypr, li_t,
+                                td))
 
     def _reboot(self):
         """clearState + setParameter (reference estimator.cpp:588-597).

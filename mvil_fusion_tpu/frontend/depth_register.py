@@ -89,7 +89,12 @@ class DepthRegister:
         buf[: len(pts)] = pts
         mask = np.zeros(CLOUD_CAP, bool)
         mask[: len(pts)] = True
-        R = np.asarray(lie.quat_to_mat(jnp.asarray(q_wc, jnp.float32)))
+        w, x, y, z = np.asarray(q_wc, np.float64)
+        R = np.asarray([
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
+        ], np.float32)  # host-side: avoids a device fetch per lookup
         cam = (buf - np.asarray(p_wc, np.float32)[None, :]) @ R
         depth, ok = _register_depth(
             jnp.asarray(feat_norm, jnp.float32), jnp.asarray(feat_valid),

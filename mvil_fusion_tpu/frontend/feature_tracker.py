@@ -46,15 +46,21 @@ class _StepOut(NamedTuple):
     pts: jnp.ndarray
     valid: jnp.ndarray
     track_cnt: jnp.ndarray
-    new_mask: jnp.ndarray    # slots newly filled this frame
     norm: jnp.ndarray
+    ids: jnp.ndarray         # (N,) int32 slot ids, -1 empty (device-owned)
+    next_id: jnp.ndarray     # () int32
+    packed: jnp.ndarray      # (N,9) f32 [u v nx ny vx vy id valid cnt]
     pyr_flat: tuple
 
 
 @partial(jax.jit, static_argnames=("cfg_key",))
-def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, key,
-                 do_track, cfg_key):
-    """Whole per-image device program. cfg_key: static (camera+tracker cfg)."""
+def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, ids,
+                 next_id, dt, key, do_track, cfg_key):
+    """Whole per-image device program. cfg_key: static (camera+tracker cfg).
+
+    Owns id assignment and velocity so steady-state tracking needs ZERO
+    blocking host readbacks; the tunnel round-trip (~45 ms) is paid only
+    when a frame is published, via the single `packed` fetch."""
     cfg, camera = _CFG_CACHE[cfg_key]
     tk = cfg.tracker
 
@@ -94,18 +100,21 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, key,
     # --- setMask: track-count-ranked min-dist suppression ----------------
     # (reference feature_tracker.cpp:36-69 — features are visited longest
     # track first; any later feature within min_dist of a kept one is
-    # dropped, so under churn the stable tracks win the spatial budget)
+    # dropped, so under churn the stable tracks win the spatial budget.)
+    # Computed as a PARALLEL fixed point instead of a 256-step sequential
+    # scan (which costs ~1 ms/step in dispatch on TPU): kept[i] iff no
+    # higher-priority KEPT feature lies within min_dist; iterating from
+    # all-in converges to the exact greedy solution level-by-level
+    # (suppression chains deeper than the iteration count are vanishingly
+    # rare at 30 px spacing).
     N = pts.shape[0]
-    order = jnp.argsort(-jnp.where(ok2, track_cnt1, -1))
     min_d2 = jnp.asarray(float(tk.min_dist) ** 2, jnp.float32)
-
-    def suppress(kept, i):
-        d2 = jnp.sum((pts1 - pts1[i]) ** 2, axis=1)
-        near_kept = jnp.any((d2 < min_d2) & kept)
-        keep_i = ok2[i] & jnp.logical_not(near_kept)
-        return kept.at[i].set(keep_i), None
-
-    kept, _ = jax.lax.scan(suppress, jnp.zeros((N,), bool), order)
+    pri = jnp.where(ok2, track_cnt1 * N - jnp.arange(N), -1)
+    d2m = jnp.sum((pts1[:, None, :] - pts1[None, :, :]) ** 2, axis=-1)
+    sup = (d2m < min_d2) & (pri[None, :] > pri[:, None]) & ok2[None, :]
+    kept = ok2
+    for _ in range(6):
+        kept = ok2 & jnp.logical_not(jnp.any(sup & kept[None, :], axis=1))
     ok2 = ok2 & kept
 
     # --- refill with new corners ---------------------------------------
@@ -127,8 +136,26 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, key,
     track_cnt2 = jnp.where(new_mask, 1, track_cnt1)
 
     norm2 = camera.lift_projective(pts2)
+
+    # --- id management (reference: n_id counter, feature_tracker.cpp:14)
+    ids1 = jnp.where(ok2, ids, -1)
+    spawn_rank = (jnp.cumsum(new_mask) - 1).astype(jnp.int32)
+    ids2 = jnp.where(new_mask, next_id + spawn_rank, ids1)
+    next_id2 = next_id + jnp.sum(new_mask).astype(jnp.int32)
+
+    # --- normalized-plane velocity (undistortedPoints :258-306)
+    survived = ok2  # tracked from previous frame (not newly spawned)
+    vel = jnp.where((survived & (dt > 0))[:, None],
+                    (norm2 - prev_norm) / jnp.maximum(dt, 1e-6), 0.0)
+
+    packed = jnp.concatenate([
+        pts2, norm2, vel,
+        ids2[:, None].astype(jnp.float32),
+        valid2[:, None].astype(jnp.float32),
+        track_cnt2[:, None].astype(jnp.float32)], axis=1)
     return _StepOut(pts=pts2, valid=valid2, track_cnt=track_cnt2,
-                    new_mask=new_mask, norm=norm2, pyr_flat=pyr)
+                    norm=norm2, ids=ids2, next_id=next_id2,
+                    packed=packed, pyr_flat=pyr)
 
 
 _CFG_CACHE: dict = {}
@@ -149,11 +176,12 @@ class FeatureTracker:
         self.valid = jnp.zeros((N,), bool)
         self.track_cnt = jnp.zeros((N,), jnp.int32)
         self.norm = jnp.zeros((N, 2), jnp.float32)
-        self.ids = np.full(N, -1, np.int64)
+        # ids live ON DEVICE: steady-state tracking then needs no blocking
+        # readback at all (the tunnel RTT is paid only on publish)
+        self.ids = jnp.full((N,), -1, jnp.int32)
+        self.next_id = jnp.zeros((), jnp.int32)
         self.prev_pyr = None
         self.prev_t = None
-        self.prev_norm_np = np.zeros((N, 2), np.float32)
-        self.next_id = 0
         self._key = jax.random.PRNGKey(config.tracker.ransac_iters)
         # frequency control (feature_tracker_node.cpp:61-72)
         self.first_image_time = None
@@ -163,7 +191,7 @@ class FeatureTracker:
         """Stream-gap restart (feature_tracker_node.cpp:48-58)."""
         self.valid = jnp.zeros((self.N,), bool)
         self.track_cnt = jnp.zeros((self.N,), jnp.int32)
-        self.ids[:] = -1
+        self.ids = jnp.full((self.N,), -1, jnp.int32)
         self.prev_pyr = None
         self.prev_t = None
         self.first_image_time = None
@@ -206,41 +234,31 @@ class FeatureTracker:
             prev_pyr = self.prev_pyr
 
         self._key, sub = jax.random.split(self._key)
+        dt = (t - self.prev_t) if self.prev_t is not None else 0.0
         out = _process_jit(img, prev_pyr, self.pts, self.valid,
-                           self.track_cnt, self.norm, sub,
+                           self.track_cnt, self.norm, self.ids,
+                           self.next_id, jnp.asarray(dt, jnp.float32), sub,
                            jnp.asarray(do_track), self._cfg_key)
 
-        new_mask = np.asarray(out.new_mask)
-        valid = np.asarray(out.valid)
-        # id management on host
-        survived = valid & ~new_mask
-        self.ids[~valid] = -1
-        n_new = int(new_mask.sum())
-        if n_new:
-            self.ids[new_mask] = np.arange(self.next_id,
-                                           self.next_id + n_new)
-            self.next_id += n_new
-
-        norm_np = np.asarray(out.norm)
-        dt = (t - self.prev_t) if self.prev_t is not None else 0.0
-        vel = np.zeros((self.N, 2), np.float32)
-        if dt > 0:
-            vel[survived] = ((norm_np[survived]
-                              - self.prev_norm_np[survived]) / dt)
-
+        # all state stays device-resident — no blocking fetch here
         self.pts = out.pts
         self.valid = out.valid
         self.track_cnt = out.track_cnt
         self.norm = out.norm
+        self.ids = out.ids
+        self.next_id = out.next_id
         self.prev_pyr = out.pyr_flat
         self.prev_t = t
-        self.prev_norm_np = norm_np
 
         if not self._should_publish(t):
             return None
         self.pub_count += 1
+        # ONE packed readback per published frame
+        packed = np.asarray(out.packed)
         return FeatureFrame(
-            t=t, ids=self.ids.copy(), norm=norm_np,
-            vel=vel, uv=np.asarray(out.pts),
+            t=t, ids=packed[:, 6].astype(np.int64),
+            norm=packed[:, 2:4].copy(), vel=packed[:, 4:6].copy(),
+            uv=packed[:, 0:2].copy(),
             depth=np.full(self.N, -1.0, np.float32),
-            valid=valid, track_cnt=np.asarray(out.track_cnt))
+            valid=packed[:, 7] > 0.5,
+            track_cnt=packed[:, 8].astype(np.int32))

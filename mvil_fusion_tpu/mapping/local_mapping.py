@@ -29,6 +29,48 @@ _downsample_jit = jax.jit(
     voxel.voxel_downsample,
     static_argnames=("leaf", "max_out", "table_size"))
 
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("outer_iters", "gn_iters", "use_i"))
+def _lm_step_jit(sharp, sharp_mask, flat, flat_mask, corner_map, corner_mask,
+                 surf_map, surf_mask, p_guess, q_guess, p_odom, q_odom,
+                 flat_i, surf_map_i, outer_iters, gn_iters, use_i):
+    """Scan-to-map + degenerate gate + wmap_wodom correction + the host
+    pack, in one device program (one blocking readback per sweep — each
+    separate fetch costs a ~45 ms tunnel round-trip)."""
+    ikw = dict(surf_i=flat_i, surf_map_i=surf_map_i) if use_i \
+        else dict(surf_i=None, surf_map_i=None)
+    p_new, q_new, n_e, n_p, res = loam_icp.scan_to_map(
+        sharp, sharp_mask, flat, flat_mask, corner_map, corner_mask,
+        surf_map, surf_mask, p_guess, q_guess,
+        outer_iters=outer_iters, gn_iters=gn_iters, **ikw)
+    # degenerate association (or empty/reset map) → keep the odometry guess
+    cnt_ok = (n_e + n_p) >= 50
+    p_new = jnp.where(cnt_ok, p_new, p_guess)
+    q_new = jnp.where(cnt_ok, q_new, q_guess)
+    p_oi, q_oi = lie.pose_inverse(jnp.asarray(p_odom, jnp.float32),
+                                  jnp.asarray(q_odom, jnp.float32))
+    pc, qc = lie.pose_compose(p_new, q_new, p_oi, q_oi)
+    f32 = jnp.float32
+    pack = jnp.concatenate([
+        p_new.astype(f32), q_new.astype(f32),          # 0:3, 3:7
+        jnp.stack([n_e.astype(f32), n_p.astype(f32),
+                   res.astype(f32)]),                  # 7:10
+        jnp.asarray(p_odom, f32), jnp.asarray(q_odom, f32),  # 10:13, 13:17
+    ])
+    return p_new, q_new, pc, qc, pack
+
+
+@jax.jit
+def _submap_pack_jit(pts_w, mask, p, q):
+    """World-frame accumulated cloud → key-pose body frame + mask, as one
+    fetchable array (one readback per submap emission)."""
+    pts_b = lie.quat_rotate_inv(q[None, :], pts_w - p[None, :])
+    return jnp.concatenate([pts_b, mask[:, None].astype(jnp.float32)],
+                           axis=1)
+
+
 CORNER_CAP = 16384
 SURF_CAP = 32768
 SUBMAP_CAP = 32768
@@ -62,8 +104,10 @@ class LocalMapper:
         self.p_corr = np.zeros(3, np.float32)
         self.q_corr = np.asarray([1, 0, 0, 0], np.float32)
         self.initialized = False
-        # submap accumulation (FOR_GLOBAL)
-        self.accum_pts: list = []
+        # submap accumulation (FOR_GLOBAL) — fixed-capacity device buffer
+        # (fixed shapes → no retraces; emission is one packed fetch)
+        self.accum_buf = jnp.zeros((SUBMAP_CAP, 3), jnp.float32)
+        self.accum_mask = jnp.zeros((SUBMAP_CAP,), bool)
         self.accum_start_pose: Optional[tuple] = None
         self.frames_since_submap = 0
         self.trajectory: list = []     # Midend.txt equivalent
@@ -114,27 +158,21 @@ class LocalMapper:
 
         p_guess, q_guess = self._apply_corr(p_odom, q_odom)
 
-        if not self.initialized:
-            p_new, q_new = p_guess, q_guess
-        else:
-            ikw = dict(surf_i=flat_i, surf_map_i=self.surf_map_i) \
-                if use_i else dict(surf_i=None, surf_map_i=None)
-            p_new, q_new, n_e, n_p, res = _scan_to_map_jit(
-                sharp, sharp_mask, flat, flat_mask,
-                self.corner_map, self.corner_mask,
-                self.surf_map, self.surf_mask,
-                p_guess.astype(jnp.float32), q_guess.astype(jnp.float32),
-                outer_iters=m.outer_iters, gn_iters=m.gn_iters, **ikw)
-            if int(n_e) + int(n_p) < 50:
-                # degenerate association — keep odometry prediction
-                p_new, q_new = p_guess, q_guess
-
-        # update wmap_wodom: T_corr = T_map ∘ T_odom⁻¹ (transformUpdate)
-        p_oi, q_oi = lie.pose_inverse(jnp.asarray(p_odom, jnp.float32),
-                                      jnp.asarray(q_odom, jnp.float32))
-        pc, qc = lie.pose_compose(p_new, q_new, p_oi, q_oi)
-        self.p_corr = np.asarray(pc)
-        self.q_corr = np.asarray(qc)
+        # one device program: scan-to-map + gate + correction + host pack
+        # (an empty/reset map fails the count gate → odometry prediction,
+        # so the uninitialized case needs no separate branch)
+        p_new, q_new, pc, qc, pack = _lm_step_jit(
+            sharp, sharp_mask, flat, flat_mask,
+            self.corner_map, self.corner_mask,
+            self.surf_map, self.surf_mask,
+            p_guess.astype(jnp.float32), q_guess.astype(jnp.float32),
+            jnp.asarray(p_odom, jnp.float32), jnp.asarray(q_odom,
+                                                          jnp.float32),
+            flat_i, self.surf_map_i,
+            outer_iters=m.outer_iters, gn_iters=m.gn_iters, use_i=use_i)
+        # wmap_wodom stays device-resident (consumed by _apply_corr)
+        self.p_corr = pc
+        self.q_corr = qc
 
         # insert features into the rolling map (world frame); the surf map
         # carries intensity as a 4th voxel-averaged channel
@@ -150,48 +188,52 @@ class LocalMapper:
             surf4, self.surf_mask, new4, flat_mask, m.surf_leaf, SURF_CAP)
         self.surf_map = surf4_new[:, :3]
         self.surf_map_i = surf4_new[:, 3]
-        self._crop(np.asarray(p_new))
+        self._crop(p_new)
         self.initialized = True
-        self.trajectory.append((t, np.asarray(p_new), np.asarray(q_new)))
 
-        # ---- submap accumulation + handoff (FOR_GLOBAL)
-        p_np, q_np = np.asarray(p_new), np.asarray(q_new)
+        # ONE blocking readback per sweep
+        hp = np.asarray(pack)
+        p_np, q_np = hp[0:3], hp[3:7]
+        odom_p_np, odom_q_np = hp[10:13], hp[13:17]
+        self.trajectory.append((t, p_np, q_np))
+
+        # ---- submap accumulation + handoff (FOR_GLOBAL); the accumulated
+        # clouds stay ON DEVICE until emission
         if self.accum_start_pose is None:
             self.accum_start_pose = (p_np.copy(), q_np.copy(), t,
-                                     np.asarray(p_odom).copy(),
-                                     np.asarray(q_odom).copy())
-        self.accum_pts.append(
-            np.asarray(flat_w)[np.asarray(flat_mask)])
+                                     odom_p_np.copy(), odom_q_np.copy())
+        self.accum_buf, self.accum_mask = self._insert(
+            self.accum_buf, self.accum_mask, flat_w, flat_mask,
+            m.surf_leaf, SUBMAP_CAP)
         self.frames_since_submap += 1
         dist = np.linalg.norm(p_np - self.accum_start_pose[0])
         if (dist > m.submap_trigger_dist
                 or self.frames_since_submap >= m.submap_trigger_frames):
-            sm = self._emit_submap(t, p_np, q_np, np.asarray(p_odom),
-                                   np.asarray(q_odom))
+            sm = self._emit_submap(t, p_np, q_np, p_new, q_new,
+                                   odom_p_np, odom_q_np)
             return sm
         return None
 
-    def _emit_submap(self, t, p_np, q_np, p_odom, q_odom) -> Submap:
+    def _emit_submap(self, t, p_np, q_np, p_dev, q_dev,
+                     p_odom, q_odom) -> Submap:
         """Publish accumulated map in the key-pose body frame, then reset the
-        rolling map (localMapping.cpp:893-982)."""
-        pts_w = np.concatenate(self.accum_pts, axis=0) \
-            if self.accum_pts else np.zeros((0, 3), np.float32)
-        R = np.asarray(lie.quat_to_mat(jnp.asarray(q_np)))
-        pts_b = (pts_w - p_np[None, :]) @ R
-        if len(pts_b) > SUBMAP_CAP:
-            sel = np.random.default_rng(0).choice(len(pts_b), SUBMAP_CAP,
-                                                  replace=False)
-            pts_b = pts_b[sel]
+        rolling map (localMapping.cpp:893-982).  The accumulated world
+        clouds are concatenated, transformed and subsampled on device; ONE
+        packed fetch pulls the submap to the host."""
+        packed = np.asarray(_submap_pack_jit(self.accum_buf,
+                                             self.accum_mask, p_dev, q_dev))
+        pts_b = packed[packed[:, 3] > 0.5, :3]
         sm = Submap(t=t, p_w=p_np.copy(), q_w=q_np.copy(),
                     pts=pts_b.astype(np.float32),
-                    odom_p=p_odom.copy(), odom_q=q_odom.copy())
+                    odom_p=np.asarray(p_odom).copy(),
+                    odom_q=np.asarray(q_odom).copy())
         # reset the rolling map (the reference clears the cube grid and
         # wmap_wodom on handoff, localMapping.cpp:979-980 — bounds error
         # accumulation; the global back end owns long-term consistency)
         self.corner_mask = jnp.zeros_like(self.corner_mask)
         self.surf_mask = jnp.zeros_like(self.surf_mask)
         self.initialized = False
-        self.accum_pts = []
+        self.accum_mask = jnp.zeros_like(self.accum_mask)
         self.accum_start_pose = None
         self.frames_since_submap = 0
         self.submaps_emitted += 1

@@ -32,6 +32,7 @@ class Stage:
     outbox: Optional[Channel] = None
     thread: Optional[threading.Thread] = None
     processed: int = 0
+    busy: bool = False            # an item is in flight inside fn
     errors: list = field(default_factory=list)
 
 
@@ -62,6 +63,7 @@ class Pipeline:
                 if st.outbox is not None:
                     st.outbox.close()
                 return
+            st.busy = True
             try:
                 res = st.fn(item)
                 st.processed += 1
@@ -70,6 +72,8 @@ class Pipeline:
                         st.outbox.put(r)
             except Exception:  # stage errors must not kill the pipeline
                 st.errors.append(traceback.format_exc())
+            finally:
+                st.busy = False
 
     def start(self):
         assert not self.deterministic
@@ -86,6 +90,24 @@ class Pipeline:
             if st.thread is not None:
                 st.thread.join(timeout)
         self._running = False
+
+    def quiesce(self, timeout: float = 120.0, settle: float = 0.05):
+        """Block until every channel is empty and stage progress has
+        stalled for `settle` seconds (threaded mode; used to separate a
+        warmup segment from a timed segment without tearing threads down).
+        Returns True if quiescent, False on timeout."""
+        import time
+        deadline = time.monotonic() + timeout
+        last = None
+        while time.monotonic() < deadline:
+            counts = tuple(st.processed for st in self.stages)
+            empty = all(len(st.inbox) == 0 for st in self.stages)
+            idle = not any(st.busy for st in self.stages)
+            if empty and idle and counts == last:
+                return True
+            last = counts
+            time.sleep(settle)
+        return False
 
     # -------------------------------------------------------- deterministic
 

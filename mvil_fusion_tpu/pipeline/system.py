@@ -38,6 +38,28 @@ from mvil_fusion_tpu.utils import lie
 _organize_jit = jax.jit(lfe.organize_grid,
                         static_argnames=("n_rings", "n_azimuth",
                                          "scan_period"))
+# world-frame cloud + mask packed into one array → ONE blocking readback
+# per depth-register update (each separate fetch pays the ~45 ms tunnel RTT)
+_world_cloud_jit = jax.jit(lambda pts, mask, p, q: jnp.concatenate(
+    [lie.quat_rotate(q[None, :], pts) + p[None, :],
+     mask[:, None].astype(jnp.float32)], axis=1))
+
+
+def _np_quat_to_mat(q):
+    w, x, y, z = np.asarray(q, np.float64)
+    return np.asarray([
+        [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+        [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+        [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
+
+
+def _np_quat_mul(a, b):
+    aw, ax, ay, az = a
+    bw, bx, by, bz = b
+    return np.asarray([aw * bw - ax * bx - ay * by - az * bz,
+                       aw * bx + ax * bw + ay * bz - az * by,
+                       aw * by - ax * bz + ay * bw + az * bx,
+                       aw * bz + ax * by - ay * bx + az * bw])
 _extract_jit = jax.jit(lfe.extract,
                        static_argnames=("n_subregions", "sharp_per_region",
                                         "less_sharp_per_region",
@@ -92,18 +114,25 @@ class VilSystem:
 
     def _feature_depths(self, t, norm, valid):
         """LiDAR-aided feature depth (the reference's DepthRegister path,
-        feature_tracker_node.cpp:252-337)."""
+        feature_tracker_node.cpp:252-337).  Host-side math on the pose the
+        estimator already fetched this frame — no device round-trips."""
         if not self.depth_register.clouds:
             return None
         est = self.estimator
-        k = min(est.frame_count, est.W - 1)
-        p_b = np.asarray(est.state.p[k])
-        q_b = np.asarray(est.state.q[k])
-        # camera pose
-        q_c = np.asarray(lie.quat_mul(jnp.asarray(q_b),
-                                      jnp.asarray(est.state.qic)))
-        p_c = p_b + np.asarray(lie.quat_rotate(jnp.asarray(q_b),
-                                               jnp.asarray(est.state.tic)))
+        cached = getattr(est, "last_pose_host", None)
+        if cached is not None:
+            p_b, q_b, tic, qic = cached
+        else:
+            k = min(est.frame_count, est.W - 1)
+            p_b = np.asarray(est.state.p[k])
+            q_b = np.asarray(est.state.q[k])
+            tic = np.asarray(est.state.tic)
+            qic = np.asarray(est.state.qic)
+        q_c = _np_quat_mul(np.asarray(q_b, np.float64),
+                           np.asarray(qic, np.float64))
+        q_c = (q_c / np.linalg.norm(q_c)).astype(np.float32)
+        p_c = (np.asarray(p_b)
+               + _np_quat_to_mat(q_b) @ np.asarray(tic)).astype(np.float32)
         return self.depth_register.get_depth(t, norm, valid, p_c, q_c)
 
     def process_lidar(self, t_start: float, pts: np.ndarray,
@@ -164,10 +193,10 @@ class VilSystem:
         async pipeline (the reference's DepthRegister subscribes to the
         estimator's lidar_cloud topic)."""
         if self.lidar_sweep_count % 2 == 0:
-            pts_l = np.asarray(out["pts"])[np.asarray(out["mask"])]
-            R = np.asarray(lie.quat_to_mat(jnp.asarray(out["q_l"])))
+            packed = np.asarray(_world_cloud_jit(out["pts"], out["mask"],
+                                                 out["p_l"], out["q_l"]))
             self.depth_register.add_cloud(out["t_end"],
-                                          pts_l @ R.T + out["p_l"])
+                                          packed[packed[:, 3] > 0.5, :3])
 
     def _map_lidar(self, sweep, out, reflectivity=None, lps_sink=None):
         """Post-estimator LiDAR path: LOAM feature extraction + local/

@@ -56,9 +56,13 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def run(args) -> dict:
+    import jax
     if getattr(args, "platform", None):
-        import jax
         jax.config.update("jax_platforms", args.platform)
+    # persistent compile cache: the system compiles ~20 sizable XLA
+    # programs; caching them across runs cuts minutes of startup
+    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     cfg = (SystemConfig.from_json(args.config) if args.config
            else SystemConfig())
     system = VilSystem(cfg, use_tracker=True,

@@ -96,7 +96,7 @@ def save_system(system, path: str):
             "surf_map_i": lm.surf_map_i,
             "p_corr": lm.p_corr, "q_corr": lm.q_corr,
             "initialized": lm.initialized,
-            "accum_pts": lm.accum_pts,
+            "accum_buf": lm.accum_buf, "accum_mask": lm.accum_mask,
             "accum_start_pose": lm.accum_start_pose,
             "frames_since_submap": lm.frames_since_submap,
             "trajectory": lm.trajectory,
@@ -164,7 +164,8 @@ def load_system(system, path: str):
             lm.surf_map_i = L["surf_map_i"]
         lm.p_corr, lm.q_corr = np.asarray(L["p_corr"]), np.asarray(L["q_corr"])
         lm.initialized = L["initialized"]
-        lm.accum_pts = [np.asarray(x) for x in L["accum_pts"]]
+        if "accum_buf" in L:
+            lm.accum_buf, lm.accum_mask = L["accum_buf"], L["accum_mask"]
         lm.accum_start_pose = L["accum_start_pose"]
         lm.frames_since_submap = L["frames_since_submap"]
         lm.trajectory = L["trajectory"]

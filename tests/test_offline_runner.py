@@ -1,0 +1,79 @@
+"""Offline runner e2e: fixture bag → `python -m mvil_fusion_tpu.run` →
+trajectory files + ATE (the reference's `roslaunch + rosbag play` workflow,
+README.md:44-57).  The bag uses real sensor_msgs encodings and lz4 chunk
+compression, so this also covers the reader's lz4 path end-to-end.
+
+The whole ladder: bag → KLT tracker on rendered images → VIO with lidar
+constraints → LOAM local mapping → global pose graph → TUM files → ATE."""
+
+import dataclasses
+import json
+import os
+
+import numpy as np
+import pytest
+
+from mvil_fusion_tpu.config import (EstimatorConfig, LidarConfig,
+                                    LocalMappingConfig, TrackerConfig)
+from mvil_fusion_tpu.io.fixture import fixture_config, record_fixture_bag
+
+pytestmark = pytest.mark.slow  # full e2e ladder; fast subset: -m 'not slow'
+
+def small_cfg():
+    # full 640x480 / 460-focal rig (tracking accuracy needs the real
+    # resolution) with reduced landmark slots and lidar iterations so the
+    # CPU ladder stays affordable
+    base = fixture_config()
+    return base.replace(
+        tracker=TrackerConfig(max_cnt=100, min_dist=25, freq=10,
+                              max_features_pad=128),
+        estimator=dataclasses.replace(base.estimator, max_features=128),
+        lidar=dataclasses.replace(base.lidar, vgicp_iters=8),
+        local_mapping=LocalMappingConfig(submap_trigger_dist=1.0,
+                                         submap_trigger_frames=10))
+
+
+@pytest.fixture(scope="module")
+def small_bag(tmp_path_factory):
+    d = tmp_path_factory.mktemp("bag")
+    bag = str(d / "fixture.bag")
+    gt = str(d / "gt_tum.txt")
+    cfgp = str(d / "cfg.json")
+    record_fixture_bag(bag, duration=6.0, image_hz=20.0, lidar_hz=5.0,
+                       n_azimuth=360, compression="lz4", gt_path=gt)
+    json.dump(small_cfg().to_dict(), open(cfgp, "w"))
+    return bag, gt, cfgp
+
+
+def _check(result, out_prefix):
+    assert result["failures"] == 0
+    assert result["frontend_poses"] > 25
+    assert result["midend_poses"] >= 3
+    assert result["ate_frontend_m"] < 0.25, result
+    for name in ("Frontend.txt", "Midend.txt", "ex_results.txt"):
+        path = out_prefix + name
+        assert os.path.exists(path)
+        assert len(open(path).readlines()) >= 1
+    # ex_results rows: t + 13 numbers
+    row = open(out_prefix + "ex_results.txt").readline().split()
+    assert len(row) == 14
+
+
+def test_runner_sync(small_bag, tmp_path):
+    from mvil_fusion_tpu import run as runner
+    bag, gt, cfgp = small_bag
+    out = str(tmp_path) + "/sync_"
+    result = runner.main(["--bag", bag, "--config", cfgp, "--out", out,
+                          "--golden", gt])
+    _check(result, out)
+
+
+def test_runner_threaded(small_bag, tmp_path):
+    """Same ladder through the async 3-stage pipeline (the reference's
+    concurrent node graph, estimator_node.cpp:552-559)."""
+    from mvil_fusion_tpu import run as runner
+    bag, gt, cfgp = small_bag
+    out = str(tmp_path) + "/thr_"
+    result = runner.main(["--bag", bag, "--config", cfgp, "--out", out,
+                          "--golden", gt, "--threaded"])
+    _check(result, out)

@@ -87,3 +87,32 @@ def test_pipeline_deterministic_and_errors():
         p.feed(k)
     assert out == [0, 1, 2, 4, 5]
     assert len(p.stages[0].errors) == 1
+
+
+def test_pipeline_multiout_and_quiesce():
+    """A stage can emit several downstream items from one input (MultiOut —
+    the sweep-buffer drain), and quiesce() waits for full drain including
+    in-flight work."""
+    import time
+    from mvil_fusion_tpu.pipeline.runner import MultiOut
+
+    p = Pipeline()
+
+    def burst(x):
+        time.sleep(0.05)                 # in-flight work quiesce must see
+        return MultiOut([x, x + 100]) if x % 2 == 0 else x
+
+    inbox = p.add_stage("burst", burst)
+    out = []
+    p.add_stage("sink", lambda x: out.append(x))
+    p.start()
+    for k in range(6):
+        inbox.put(k)
+    assert p.quiesce(timeout=10.0)
+    assert sorted(out) == [0, 1, 2, 3, 4, 5, 100, 102, 104]
+    # pipeline still alive after quiesce: feed more
+    inbox.put(7)
+    assert p.quiesce(timeout=10.0)
+    assert 7 in out
+    p.stop()
+    assert all(not st.errors for st in p.stages)
