@@ -37,6 +37,7 @@ IMU_NMAX = 256          # default per-interval raw-sample capacity
 # state runs entirely through _frame_step_jit below
 _preint_batch_jit = jax.jit(pre.preintegrate_batch)
 _triangulate_jit = jax.jit(tri.triangulate_window)
+_merge_inv_jit = jax.jit(lambda cur, v, m: jnp.where(m, v, cur))
 
 from functools import partial as _partial
 
@@ -86,10 +87,12 @@ def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
 
     # everything the host consumes per frame, packed into ONE array so the
     # steady-state loop pays exactly one tunnel round-trip per frame:
-    # [metrics(5) cost(1) p(3) q(4) v(3) tic(3) qic(4) td(1) inv_depth(F)]
+    # [metrics(5) cost(1) p(3) q(4) v(3) tic(3) qic(4) td(1) bg(3)
+    #  inv_depth(F)]
     host_pack = jnp.concatenate([
         metrics, res.cost1[None], s_new.p[-1], s_new.q[-1], s_new.v[-1],
-        s_new.tic, s_new.qic, s_new.td[None], s_new.inv_depth])
+        s_new.tic, s_new.qic, s_new.td[None], s_new.bg[-1],
+        s_new.inv_depth])
     return s_new, prior_new, metrics, res.cost1, host_pack
 
 
@@ -193,6 +196,11 @@ class VIOEstimator:
             tic=jnp.asarray(e.tic, jnp.float32),
             td=jnp.asarray(e.td_init, jnp.float32))
         self.prior = fac.empty_prior(W, F)
+        # host caches of slow-moving state scalars, refreshed every solve
+        # (a per-frame device fetch costs a ~45 ms tunnel round-trip)
+        self.td_host = float(e.td_init)
+        self.bg_host = np.zeros(3, np.float32)
+        self.qic_host = np.asarray(lie.mat_to_quat(jnp.asarray(ric)))
         self.gravity = jnp.asarray([0.0, 0.0, cfg.imu.g_norm], jnp.float32)
         self.noise_cov = pre.noise_covariance(
             cfg.imu.acc_n, cfg.imu.gyr_n, cfg.imu.acc_w, cfg.imu.gyr_w)
@@ -290,8 +298,8 @@ class VIOEstimator:
         reference's td-aware getMeasurements (estimator_node.cpp:145-223) —
         so the projection factor's velocity term only compensates the small
         residual (td − td_at_pairing)."""
-        td_now = float(np.asarray(self.state.td))
-        t = t + td_now
+        td_now = self.td_host   # host cache, refreshed every solve — a
+        t = t + td_now          # per-frame device fetch costs a tunnel RTT
         k = self.frame_count
         if depth is None:
             depth = np.full(len(ids), -1.0, np.float32)
@@ -364,7 +372,8 @@ class VIOEstimator:
         iv = self.intervals[i]
         if len(iv.t) < 2:
             return np.eye(3, dtype=np.float32)
-        bg = np.asarray(self.state.bg[min(i, self.W - 1)])
+        bg = self.bg_host   # newest gyro bias, host cache (≈ bg[i] —
+        #                     biases random-walk slowly inside one window)
         g = np.asarray(iv.gyr) - bg[None, :]
         dt = np.diff(np.asarray(iv.t))
         phi = np.sum(0.5 * (g[:-1] + g[1:]) * dt[:, None], axis=0)
@@ -376,7 +385,11 @@ class VIOEstimator:
             K = np.array([[0, -a[2], a[1]], [a[2], 0, -a[0]],
                           [-a[1], a[0], 0]])
             R_b = np.eye(3) + np.sin(ang) * K + (1 - np.cos(ang)) * K @ K
-        Ric = np.asarray(lie.quat_to_mat(self.state.qic))
+        w, x, y, z = np.asarray(self.qic_host, np.float64)
+        Ric = np.asarray([   # host cache — avoid a per-frame device fetch
+            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
+            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
+            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)]])
         return (Ric.T @ R_b @ Ric).astype(np.float32)
 
     def _check_parallax(self, k: int) -> bool:
@@ -479,7 +492,11 @@ class VIOEstimator:
         mask = np.zeros((F, W), bool)
         fixed = np.zeros(F, bool)
         valid = np.zeros(F, bool)
-        inv_depth = np.asarray(self.state.inv_depth).copy()
+        # host-known depth seeds merge into the device vector with a tiny
+        # jitted where() — fetching state.inv_depth here would cost a
+        # tunnel round-trip per frame
+        ov_val = np.zeros(F, np.float32)
+        ov_mask = np.zeros(F, bool)
         for s, fid in enumerate(self.slots):
             if fid is None:
                 continue
@@ -494,8 +511,11 @@ class VIOEstimator:
             fixed[s] = tr.depth_fixed
             valid[s] = mask[s].sum() >= 2
             if tr.inv_depth > 0:
-                inv_depth[s] = tr.inv_depth
-        self.state = self.state._replace(inv_depth=jnp.asarray(inv_depth))
+                ov_val[s] = tr.inv_depth
+                ov_mask[s] = True
+        self.state = self.state._replace(inv_depth=_merge_inv_jit(
+            self.state.inv_depth, jnp.asarray(ov_val),
+            jnp.asarray(ov_mask)))
         return st.Features(
             start=jnp.asarray(start), obs=jnp.asarray(obs),
             vel=jnp.asarray(vel), td_ref=jnp.asarray(td_ref),
@@ -725,13 +745,17 @@ class VIOEstimator:
         c_h = hp[5]
         p_h, q_h, v_h = hp[6:9], hp[9:13], hp[13:16]
         tic_h, qic_h, td_h = hp[16:19], hp[19:23], float(hp[23])
-        inv_h = hp[24:]
+        bg_h = hp[24:27]
+        inv_h = hp[27:]
         if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
                 or dp > e.fail_trans_jump or dz > e.fail_z_jump):
             self._reboot()
             return
 
         self.state = s_new
+        self.td_host = td_h
+        self.bg_host = bg_h.astype(np.float32)
+        self.qic_host = qic_h.astype(np.float32)
         self.solve_info["cost"] = float(c_h)
         for s, fid in enumerate(self.slots):
             if fid is not None and not self.tracks[fid].depth_fixed:
@@ -822,7 +846,6 @@ class VIOEstimator:
     def _shift_tracks_old(self):
         """Window index k -> k-1; re-root depths of frame-0 features
         (removeBackShiftDepth, feature_manager.cpp:283-345)."""
-        p_w = np.asarray(self.state.p)   # already shifted
         dead = []
         for fid, tr in self.tracks.items():
             if 0 in tr.obs:

@@ -24,7 +24,7 @@ from mvil_fusion_tpu.config import SystemConfig
 from mvil_fusion_tpu.mapping import pose_graph as pg
 from mvil_fusion_tpu.mapping.local_mapping import Submap
 from mvil_fusion_tpu.ops import scancontext as sc, vgicp, voxel
-from mvil_fusion_tpu.utils import lie
+from mvil_fusion_tpu.utils import lie, nplie
 
 N_MAX = 512
 E_MAX = 2048
@@ -41,6 +41,41 @@ _downsample_jit = jax.jit(voxel.voxel_downsample,
 _make_desc_jit = jax.jit(sc.make_descriptor,
                          static_argnames=("n_ring", "n_sector", "max_radius"))
 _detect_loop_jit = jax.jit(sc.detect_loop, static_argnames=("n_candidates",))
+
+from functools import partial as _partial
+
+
+@_partial(jax.jit, static_argnames=("iters", "max_corr_dist", "leaf"))
+def _greg_pack_jit(scan, scan_mask, ref_map, p0, q0, iters, max_corr_dist,
+                   leaf):
+    """Keyed-scan registration against the reference map with the result
+    packed into ONE (9,) fetch [p(3) q(4) fitness n_corr] — separate
+    fetches each pay the ~45 ms tunnel round-trip."""
+    src_map = voxel.build_gaussian_voxel_map(scan, scan_mask, leaf)
+    reg = voxel.voxel_downsample(scan, scan_mask, leaf, 4096)
+    res = vgicp.vgicp_align(reg.pts, reg.mask, ref_map, src_map,
+                            jnp.asarray(p0, jnp.float32),
+                            jnp.asarray(q0, jnp.float32),
+                            iters=iters, max_corr_dist=max_corr_dist)
+    f32 = jnp.float32
+    return jnp.concatenate([res.p.astype(f32), res.q.astype(f32),
+                            jnp.stack([res.fitness.astype(f32),
+                                       res.n_corr.astype(f32)])])
+
+
+@jax.jit
+def _pq_pack_jit(p, q):
+    """(N,7) node poses in one fetch (host mirror refresh after a graph
+    solve)."""
+    return jnp.concatenate([p, q], axis=1)
+
+
+@_partial(jax.jit, static_argnames=("n_candidates",))
+def _detect_pack_jit(desc, key, db_desc, db_keys, db_mask, n_candidates):
+    cands = sc.detect_loop(desc, key, db_desc, db_keys, db_mask,
+                           n_candidates=n_candidates)
+    return jnp.stack([cands.idx.astype(jnp.float32),
+                      cands.dist.astype(jnp.float32)])
 
 SCAN_CAP = 8192          # per keyed scan point capacity (padded)
 
@@ -60,9 +95,17 @@ class GlobalMapper:
         self.last_odom: Optional[tuple] = None  # (p, q) at previous submap
         self.loops_closed = 0
         self.loop_pairs: list[tuple] = []
-        self.sc_desc = np.zeros((N_MAX, g.sc_num_ring, g.sc_num_sector),
-                                np.float32)
-        self.sc_keys = np.zeros((N_MAX, g.sc_num_ring), np.float32)
+        # ScanContext store lives ON DEVICE (uploading a (512,20,60) table
+        # per detect would cost ~100 ms through the tunnel)
+        self.sc_desc = jnp.zeros((N_MAX, g.sc_num_ring, g.sc_num_sector),
+                                 jnp.float32)
+        self.sc_keys = jnp.zeros((N_MAX, g.sc_num_ring), jnp.float32)
+        # host mirror of node poses: everything the host bookkeeping reads
+        # (prediction chaining, radius loops, trajectory) without fetching;
+        # refreshed from the device graph only after a solve
+        self.p_host = np.zeros((N_MAX, 3), np.float32)
+        self.q_host = np.tile(np.asarray([1, 0, 0, 0], np.float32),
+                              (N_MAX, 1))
         self._since_last_close = 10**9
         self.map_refreshes = 0   # z-jump-triggered re-solves (reference
         #                          globalMappingIkdTree.cpp:290-298)
@@ -70,7 +113,13 @@ class GlobalMapper:
     # ------------------------------------------------------------- helpers
 
     def _node_pose(self, i: int):
-        return (np.asarray(self.graph.p[i]), np.asarray(self.graph.q[i]))
+        return (self.p_host[i], self.q_host[i])
+
+    def _refresh_host_poses(self):
+        """One packed fetch of all node poses after a graph re-solve."""
+        pq = np.asarray(_pq_pack_jit(self.graph.p, self.graph.q))
+        self.p_host = pq[:, :3].copy()
+        self.q_host = pq[:, 3:7].copy()
 
     def _floor_id(self, z: float) -> int:
         fh = self.cfg.global_mapping.floor_height
@@ -90,14 +139,14 @@ class GlobalMapper:
         n = self.n_nodes - exclude_recent
         if n <= 0:
             return None
-        pos = np.asarray(self.graph.p[:n])
+        pos = self.p_host[:n]
         d = np.linalg.norm(pos - center[None, :], axis=1)
         k = min(5, n)
         near = np.argsort(d)[:k]
         pts_all, mask_all = [], []
         for i in near:
             p_i, q_i = self._node_pose(i)
-            R = np.asarray(lie.quat_to_mat(jnp.asarray(q_i)))
+            R = nplie.quat_to_mat(q_i).astype(np.float32)
             pts_all.append(self.scans[i] @ R.T + p_i)
             mask_all.append(self.scan_masks[i])
         pts = jnp.asarray(np.concatenate(pts_all, axis=0))
@@ -105,17 +154,14 @@ class GlobalMapper:
         return _build_map_jit(pts, mask,
                               leaf=self.cfg.lidar.vgicp_resolution)
 
-    def _register(self, scan, scan_mask, ref_map, p0, q0):
-        src_map = _build_map_jit(scan, scan_mask,
-                                 leaf=self.cfg.lidar.vgicp_resolution)
-        reg = _downsample_jit(scan, scan_mask,
-                              leaf=self.cfg.lidar.vgicp_resolution,
-                              max_out=4096)
-        return _vgicp_jit(reg.pts, reg.mask, ref_map, src_map,
-                          jnp.asarray(p0, jnp.float32),
-                          jnp.asarray(q0, jnp.float32),
-                          iters=self.cfg.lidar.vgicp_iters,
-                          max_corr_dist=self.cfg.lidar.max_corr_dist)
+    def _register(self, scan, scan_mask, ref_map, p0, q0) -> np.ndarray:
+        """One packed fetch: [p(3) q(4) fitness n_corr]."""
+        return np.asarray(_greg_pack_jit(
+            scan, scan_mask, ref_map,
+            np.asarray(p0, np.float32), np.asarray(q0, np.float32),
+            iters=self.cfg.lidar.vgicp_iters,
+            max_corr_dist=self.cfg.lidar.max_corr_dist,
+            leaf=self.cfg.lidar.vgicp_resolution))
 
     def _add_edge(self, i, j, dp, dq, w):
         e = self.n_edges
@@ -177,10 +223,20 @@ class GlobalMapper:
         self.n_nodes, self.n_edges, self.n_z = n - k, ne, nz
         del self.scans[:k], self.scan_masks[:k]
         del self.times[:k], self.floor_ids[:k]
-        self.sc_desc[: n - k] = self.sc_desc[k:n].copy()
-        self.sc_desc[n - k:] = 0.0
-        self.sc_keys[: n - k] = self.sc_keys[k:n].copy()
-        self.sc_keys[n - k:] = 0.0
+        # device ScanContext store + host pose mirror shift (eviction is
+        # rare — a host round-trip here is fine)
+        sd = np.array(self.sc_desc)
+        sk = np.array(self.sc_keys)
+        sd[: n - k] = sd[k:n].copy()
+        sd[n - k:] = 0.0
+        sk[: n - k] = sk[k:n].copy()
+        sk[n - k:] = 0.0
+        self.sc_desc = jnp.asarray(sd)
+        self.sc_keys = jnp.asarray(sk)
+        self.p_host[: n - k] = self.p_host[k:n].copy()
+        self.p_host[n - k:] = 0.0
+        self.q_host[: n - k] = self.q_host[k:n].copy()
+        self.q_host[n - k:] = np.asarray([1, 0, 0, 0], np.float32)
         self.loop_pairs = [(a - k, b - k) for a, b in self.loop_pairs
                            if a >= k and b >= k]
 
@@ -200,34 +256,33 @@ class GlobalMapper:
             q_new = sm.q_w.astype(np.float32)
         else:
             # predicted pose: previous corrected node ∘ odometry delta
+            # (host math on the pose mirror — no device round-trips)
             p_prev, q_prev = self._node_pose(i - 1)
-            dp, dq = lie.pose_between(
-                jnp.asarray(self.last_odom[0]), jnp.asarray(self.last_odom[1]),
-                jnp.asarray(sm.p_w), jnp.asarray(sm.q_w))
-            p_pred, q_pred = lie.pose_compose(
-                jnp.asarray(p_prev), jnp.asarray(q_prev), dp, dq)
+            dp, dq = nplie.pose_between(self.last_odom[0], self.last_odom[1],
+                                        sm.p_w, sm.q_w)
+            p_pred, q_pred = nplie.pose_compose(p_prev, q_prev, dp, dq)
             # refine against the reference map
-            ref = self._reference_map(np.asarray(p_pred))
+            ref = self._reference_map(p_pred)
             if ref is not None:
-                res = self._register(jnp.asarray(scan), jnp.asarray(scan_mask),
-                                     ref, p_pred, q_pred)
-                good = (float(res.fitness) < g.max_tolerable_fitness
-                        and int(res.n_corr) > 100)
+                hp = self._register(jnp.asarray(scan),
+                                    jnp.asarray(scan_mask),
+                                    ref, p_pred, q_pred)
+                good = (float(hp[7]) < g.max_tolerable_fitness
+                        and int(hp[8]) > 100)
                 if good:
-                    p_new = np.asarray(res.p)
-                    q_new = np.asarray(res.q)
+                    p_new, q_new = hp[0:3], hp[3:7]
                 else:
-                    p_new = np.asarray(p_pred)
-                    q_new = np.asarray(q_pred)
+                    p_new, q_new = p_pred, q_pred
             else:
-                p_new = np.asarray(p_pred)
-                q_new = np.asarray(q_pred)
+                p_new, q_new = p_pred, q_pred
 
-        # ---- add node
+        # ---- add node (device graph + host mirror)
         self.graph = self.graph._replace(
             p=self.graph.p.at[i].set(jnp.asarray(p_new)),
             q=self.graph.q.at[i].set(jnp.asarray(q_new)),
             node_mask=self.graph.node_mask.at[i].set(True))
+        self.p_host[i] = p_new
+        self.q_host[i] = q_new
         self.scans.append(sm.pts.copy() if len(sm.pts) <= SCAN_CAP
                           else sm.pts[:SCAN_CAP].copy())
         sc_pad, sc_m = self._pad_scan(sm.pts)
@@ -241,20 +296,20 @@ class GlobalMapper:
         self._since_last_close += 1
 
         # ScanContext descriptor for every keyed scan (the reference's
-        # makeAndSaveScancontextAndKeys on submap arrival :279-288)
-        desc = np.asarray(_make_desc_jit(
+        # makeAndSaveScancontextAndKeys on submap arrival :279-288) —
+        # computed and stored on device, no fetch
+        desc = _make_desc_jit(
             jnp.asarray(self.scans[i]), jnp.asarray(self.scan_masks[i]),
             n_ring=g.sc_num_ring, n_sector=g.sc_num_sector,
-            max_radius=g.sc_max_radius))
-        self.sc_desc[i] = desc
-        self.sc_keys[i] = np.asarray(sc.ring_key(jnp.asarray(desc)))
+            max_radius=g.sc_max_radius)
+        self.sc_desc = self.sc_desc.at[i].set(desc)
+        self.sc_keys = self.sc_keys.at[i].set(sc.ring_key(desc))
 
-        # between factor to previous node
+        # between factor to previous node (host mirror math)
         if i > 0:
             p_prev, q_prev = self._node_pose(i - 1)
-            dp, dq = lie.pose_between(jnp.asarray(p_prev), jnp.asarray(q_prev),
-                                      jnp.asarray(p_new), jnp.asarray(q_new))
-            self._add_edge(i - 1, i, np.asarray(dp), np.asarray(dq), 10.0)
+            dp, dq = nplie.pose_between(p_prev, q_prev, p_new, q_new)
+            self._add_edge(i - 1, i, dp, dq, 10.0)
 
         # GPS-z floor prior (variance 50 when near the floor plane, huge
         # otherwise — globalMappingIkdTree.cpp:216-228)
@@ -279,8 +334,9 @@ class GlobalMapper:
             self.loops_closed += 1
             self._since_last_close = 0
             self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+            self._refresh_host_poses()
         elif i > 0 and abs(float(p_new[2])
-                           - float(self.graph.p[i - 1, 2])) > 0.5:
+                           - float(self.p_host[i - 1, 2])) > 0.5:
             # z-jump (floor transition / drift): re-solve so the floor
             # priors engage and subsequent reference maps use corrected
             # poses — the analog of the reference's ikd-tree rebuild from
@@ -288,6 +344,7 @@ class GlobalMapper:
             # our reference map is scatter-rebuilt from graph poses per
             # query, so re-solving *is* the map refresh)
             self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+            self._refresh_host_poses()
             self.map_refreshes += 1
 
         p_fin, q_fin = self._node_pose(i)
@@ -306,7 +363,7 @@ class GlobalMapper:
         for k in (j - 1, j, j + 1):
             if 0 <= k < self.n_nodes and k != i:
                 pk, qk = self._node_pose(k)
-                R = np.asarray(lie.quat_to_mat(jnp.asarray(qk)))
+                R = nplie.quat_to_mat(qk).astype(np.float32)
                 pts_all.append(self.scans[k] @ R.T + pk)
                 mask_all.append(self.scan_masks[k])
         if not pts_all:
@@ -314,17 +371,14 @@ class GlobalMapper:
         ref = _build_map_jit(jnp.asarray(np.concatenate(pts_all)),
                              jnp.asarray(np.concatenate(mask_all)),
                              leaf=self.cfg.lidar.vgicp_resolution)
-        res = self._register(jnp.asarray(self.scans[i]),
-                             jnp.asarray(self.scan_masks[i]), ref, p_i, q_i)
-        if (float(res.fitness) > g.max_tolerable_fitness
-                or int(res.n_corr) < 100):
+        hp = self._register(jnp.asarray(self.scans[i]),
+                            jnp.asarray(self.scan_masks[i]), ref, p_i, q_i)
+        if (float(hp[7]) > g.max_tolerable_fitness or int(hp[8]) < 100):
             return False
-        p_new = np.asarray(res.p)
-        q_new = np.asarray(res.q)
+        p_new, q_new = hp[0:3], hp[3:7]
         # measured relative pose j→i from the registration result
-        dp, dq = lie.pose_between(jnp.asarray(p_j), jnp.asarray(q_j),
-                                  jnp.asarray(p_new), jnp.asarray(q_new))
-        self._add_edge(j, i, np.asarray(dp), np.asarray(dq), 20.0)
+        dp, dq = nplie.pose_between(p_j, q_j, p_new, q_new)
+        self._add_edge(j, i, dp, dq, 20.0)
         self.loop_pairs.append((j, i))
         return True
 
@@ -334,8 +388,8 @@ class GlobalMapper:
         lim = self.n_nodes - g.skip_recent_poses
         if lim <= 0:
             return False
-        p_i = np.asarray(self.graph.p[i])
-        pos = np.asarray(self.graph.p[:lim])
+        p_i = self.p_host[i]
+        pos = self.p_host[:lim]
         d = np.linalg.norm(pos - p_i[None, :], axis=1)
         same_floor = np.asarray(self.floor_ids[:lim]) == self.floor_ids[i]
         cand = np.nonzero((d < g.proximity_threshold) & same_floor)[0]
@@ -347,7 +401,6 @@ class GlobalMapper:
     def _try_sc_loop(self, i: int) -> bool:
         """ScanContext loop proposal (reference SC thread :338-394)."""
         g = self.cfg.global_mapping
-        desc = self.sc_desc[i]
         lim = self.n_nodes - g.sc_num_exclude_recent
         if lim <= 0:
             return False
@@ -359,34 +412,34 @@ class GlobalMapper:
         db_mask &= same_floor
         if not db_mask.any():
             return False
-        cands = _detect_loop_jit(jnp.asarray(desc), jnp.asarray(self.sc_keys[i]),
-                                 jnp.asarray(self.sc_desc),
-                                 jnp.asarray(self.sc_keys),
-                                 jnp.asarray(db_mask),
-                                 n_candidates=g.sc_num_candidates)
-        dists = np.asarray(cands.dist)
+        # descriptors stay on device; ONE (2,K) fetch of (idx, dist)
+        cand = np.asarray(_detect_pack_jit(
+            self.sc_desc[i], self.sc_keys[i], self.sc_desc, self.sc_keys,
+            jnp.asarray(db_mask), n_candidates=g.sc_num_candidates))
+        dists = cand[1]
         best = int(np.argmin(dists))
         if not np.isfinite(dists[best]) or dists[best] > g.sc_dist_threshold:
             return False
-        j = int(np.asarray(cands.idx)[best])
+        j = int(cand[0, best])
         return self._verify_loop(i, j)
 
     # --------------------------------------------------------------- output
 
     def ensure_descriptor(self, i: int):
+        """Recompute a missing descriptor (checkpoint-restore path)."""
         g = self.cfg.global_mapping
-        if not self.sc_keys[i].any():
-            desc = np.asarray(_make_desc_jit(
+        if not bool(jnp.any(self.sc_keys[i])):
+            desc = _make_desc_jit(
                 jnp.asarray(self.scans[i]), jnp.asarray(self.scan_masks[i]),
                 n_ring=g.sc_num_ring, n_sector=g.sc_num_sector,
-                max_radius=g.sc_max_radius))
-            self.sc_desc[i] = desc
-            self.sc_keys[i] = np.asarray(sc.ring_key(jnp.asarray(desc)))
+                max_radius=g.sc_max_radius)
+            self.sc_desc = self.sc_desc.at[i].set(desc)
+            self.sc_keys = self.sc_keys.at[i].set(sc.ring_key(desc))
 
     def trajectory(self):
         """Corrected keyed poses — the Backend.txt content."""
-        return [(self.times[i], np.asarray(self.graph.p[i]),
-                 np.asarray(self.graph.q[i])) for i in range(self.n_nodes)]
+        return [(self.times[i], self.p_host[i], self.q_host[i])
+                for i in range(self.n_nodes)]
 
     def save_trajectory(self, path: str):
         """TUM-format trajectory (reference SerialPath2File)."""
@@ -403,7 +456,7 @@ class GlobalMapper:
         pts_all = []
         for i in range(self.n_nodes):
             p_i, q_i = self._node_pose(i)
-            R = np.asarray(lie.quat_to_mat(jnp.asarray(q_i)))
+            R = nplie.quat_to_mat(q_i).astype(np.float32)
             pts_all.append((self.scans[i] @ R.T + p_i)[self.scan_masks[i]])
         pts = np.concatenate(pts_all, axis=0).astype(np.float32)
         cap = 1 << 17

@@ -133,7 +133,16 @@ class VilSystem:
         q_c = (q_c / np.linalg.norm(q_c)).astype(np.float32)
         p_c = (np.asarray(p_b)
                + _np_quat_to_mat(q_b) @ np.asarray(tic)).astype(np.float32)
-        return self.depth_register.get_depth(t, norm, valid, p_c, q_c)
+        # pad to a STATIC feature capacity: a varying live-feature count
+        # would recompile the depth-register program every frame
+        n = len(norm)
+        cap = max(self.cfg.tracker.max_features_pad, n)
+        norm_p = np.zeros((cap, 2), np.float32)
+        norm_p[:n] = norm
+        valid_p = np.zeros(cap, bool)
+        valid_p[:n] = valid
+        depth = self.depth_register.get_depth(t, norm_p, valid_p, p_c, q_c)
+        return depth[:n]
 
     def process_lidar(self, t_start: float, pts: np.ndarray,
                       valid: np.ndarray | None = None,

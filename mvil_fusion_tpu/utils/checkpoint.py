@@ -111,7 +111,8 @@ def save_system(system, path: str):
             "times": gm.times, "floor_ids": gm.floor_ids,
             "last_odom": gm.last_odom, "loops_closed": gm.loops_closed,
             "loop_pairs": gm.loop_pairs,
-            "sc_desc": gm.sc_desc, "sc_keys": gm.sc_keys,
+            "sc_desc": np.asarray(gm.sc_desc),
+            "sc_keys": np.asarray(gm.sc_keys),
             "since_last_close": gm._since_last_close,
         }
     if hasattr(system, "lidar_sweep_count"):
@@ -181,8 +182,10 @@ def load_system(system, path: str):
         gm.last_odom = G["last_odom"]
         gm.loops_closed = G["loops_closed"]
         gm.loop_pairs = G["loop_pairs"]
-        gm.sc_desc, gm.sc_keys = G["sc_desc"], G["sc_keys"]
+        gm.sc_desc = jnp.asarray(G["sc_desc"])
+        gm.sc_keys = jnp.asarray(G["sc_keys"])
         gm._since_last_close = G["since_last_close"]
+        gm._refresh_host_poses()
     if "system" in blob and hasattr(system, "lidar_sweep_count"):
         system.lidar_sweep_count = blob["system"]["lidar_sweep_count"]
         if hasattr(system, "depth_register"):
