@@ -41,39 +41,85 @@ _vgicp_jit = jax.jit(vgicp.vgicp_align,
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("iters", "max_corr_dist"))
-def _reg_pack_jit(reg_pts, reg_mask, prev_vmap, cur_vmap,
-                  pl_p, ql_p, pl_e, ql_e, prev_p_w, prev_q_w,
-                  cur_p_w, cur_q_w, rlb, tlb, iters, max_corr_dist):
-    """Registration + every scalar/vector the host's constraint-mode
-    classification and calibration bookkeeping consume, packed into ONE
-    (46,) array so a sweep costs a single blocking readback (the tunnel
-    round-trip is ~45 ms; a dozen separate fetches would dominate the
-    whole lidar path)."""
+@_partial(jax.jit, static_argnames=("scan_period", "leaf_size",
+                                    "vgicp_resolution", "iters",
+                                    "max_corr_dist"))
+def _sweep_full_jit(pts, rel_time, mask, state_p, state_q, idx, alphas,
+                    prev_stored_p, prev_stored_q, prev_bracketed, has_prev,
+                    prev_vmap, q_lb, tlb, rlb,
+                    scan_period, leaf_size, vgicp_resolution, iters,
+                    max_corr_dist):
+    """The ENTIRE per-sweep device pipeline as ONE program: window-pose
+    interpolation → lidar-frame poses → deskew → downsamples → Gaussian
+    voxel map → (when a previous key sweep exists) VGICP + constraint-mode
+    classification inputs packed into one (46,) array.
+
+    One program per sweep matters more than its FLOPs here: on the
+    tunneled TPU every dependent program execution costs tens of ms of
+    launch round-trip, so the old 5-program chain paid ~5x that before
+    any readback.  idx (3,2)/alphas (3,) hold the (start, end, prev-end)
+    window brackets computed on host."""
     dtype = jnp.float32
-    p_rel, q_rel = lie.pose_between(pl_p, ql_p, pl_e, ql_e)
-    res = vgicp.vgicp_align(reg_pts, reg_mask, prev_vmap, cur_vmap,
-                            p_rel.astype(dtype), q_rel.astype(dtype),
-                            iters=iters, max_corr_dist=max_corr_dist)
-    yaw = jnp.abs(jnp.degrees(lie.mat_to_ypr(lie.quat_to_mat(q_rel))[0]))
-    n_src = jnp.sum(reg_mask).astype(dtype)
-    R_icp = lie.quat_to_mat(res.q)
-    Rb = rlb @ R_icp @ rlb.T
-    tb_ = rlb @ res.p + tlb - Rb @ tlb
-    q_b_icp = lie.mat_to_quat(Rb)
-    q_b_rel = lie.quat_mul(lie.quat_conj(prev_q_w), cur_q_w)
-    t_b_rel = lie.quat_rotate_inv(prev_q_w, cur_p_w - prev_p_w)
-    return jnp.concatenate([
-        res.p.astype(dtype), res.q.astype(dtype),          # 0:3, 3:7
-        jnp.stack([res.fitness.astype(dtype),
-                   res.n_corr.astype(dtype), n_src,
-                   yaw.astype(dtype)]),                    # 7:11
-        p_rel.astype(dtype), q_rel.astype(dtype),          # 11:14, 14:18
-        tb_.astype(dtype), q_b_icp.astype(dtype),          # 18:21, 21:25
-        q_b_rel.astype(dtype), t_b_rel.astype(dtype),      # 25:29, 29:32
-        pl_e.astype(dtype), ql_e.astype(dtype),            # 32:35, 35:39
-        cur_p_w.astype(dtype), cur_q_w.astype(dtype),      # 39:42, 42:46
-    ])
+
+    def interp(k):
+        i, j = idx[k, 0], idx[k, 1]
+        a = alphas[k]
+        q = lie.quat_slerp(state_q[i], state_q[j], a)
+        p = state_p[i] * (1 - a) + state_p[j] * a
+        return p, q
+
+    p_bs, q_bs = interp(0)
+    p_be, q_be = interp(1)
+    p_bp_i, q_bp_i = interp(2)
+    p_bp = jnp.where(prev_bracketed, p_bp_i, prev_stored_p)
+    q_bp = jnp.where(prev_bracketed, q_bp_i, prev_stored_q)
+
+    def b2l(p, q):
+        return (p + lie.quat_rotate(q, tlb),
+                lie.quat_normalize(lie.quat_mul(q, q_lb)))
+
+    pl_s, ql_s = b2l(p_bs, q_bs)
+    pl_e, ql_e = b2l(p_be, q_be)
+    pl_p, ql_p = b2l(p_bp, q_bp)
+
+    undist = dsk.deskew_to_end(pts, rel_time, pl_s, ql_s, pl_e, ql_e,
+                               scan_period)
+    down = voxel.voxel_downsample(undist, mask, leaf_size, 8192)
+    vmap_new = voxel.build_gaussian_voxel_map(undist, mask,
+                                              vgicp_resolution)
+    reg = voxel.voxel_downsample(undist, mask, vgicp_resolution, 4096)
+
+    def with_reg():
+        p_rel, q_rel = lie.pose_between(pl_p, ql_p, pl_e, ql_e)
+        res = vgicp.vgicp_align(reg.pts, reg.mask, prev_vmap, vmap_new,
+                                p_rel.astype(dtype), q_rel.astype(dtype),
+                                iters=iters, max_corr_dist=max_corr_dist)
+        yaw = jnp.abs(jnp.degrees(
+            lie.mat_to_ypr(lie.quat_to_mat(q_rel))[0]))
+        n_src = jnp.sum(reg.mask).astype(dtype)
+        R_icp = lie.quat_to_mat(res.q)
+        Rb = rlb @ R_icp @ rlb.T
+        tb_ = rlb @ res.p + tlb - Rb @ tlb
+        q_b_icp = lie.mat_to_quat(Rb)
+        q_b_rel = lie.quat_mul(lie.quat_conj(q_bp), q_be)
+        t_b_rel = lie.quat_rotate_inv(q_bp, p_be - p_bp)
+        return jnp.concatenate([
+            res.p.astype(dtype), res.q.astype(dtype),          # 0:3, 3:7
+            jnp.stack([res.fitness.astype(dtype),
+                       res.n_corr.astype(dtype), n_src,
+                       yaw.astype(dtype)]),                    # 7:11
+            p_rel.astype(dtype), q_rel.astype(dtype),          # 11:14,14:18
+            tb_.astype(dtype), q_b_icp.astype(dtype),          # 18:21,21:25
+            q_b_rel.astype(dtype), t_b_rel.astype(dtype),      # 25:29,29:32
+            pl_e.astype(dtype), ql_e.astype(dtype),            # 32:35,35:39
+            p_be.astype(dtype), q_be.astype(dtype),            # 39:42,42:46
+            res.converged.astype(dtype)[None],                 # 46
+        ])
+
+    pack = jax.lax.cond(has_prev, with_reg,
+                        lambda: jnp.zeros((47,), dtype))
+    return (undist, down.pts, down.mask, vmap_new, reg.pts, reg.mask,
+            pl_e, ql_e, p_be, q_be, pack)
 
 
 def lidar_align(q_l: jnp.ndarray, t_l: jnp.ndarray, t_b: jnp.ndarray,
@@ -179,6 +225,18 @@ class LidarFrontend:
 
     # -------------------------------------------------------------- helpers
 
+    def _empty_vmap(self, table_size: int = 1 << 18):
+        """Placeholder previous-sweep map for the first sweep (the fused
+        program's cond skips registration, but the pytree arg must have
+        the real shapes)."""
+        return voxel.GaussianVoxelMap(
+            mean=jnp.zeros((table_size, 3), jnp.float32),
+            cov=jnp.zeros((table_size, 3, 3), jnp.float32),
+            count=jnp.zeros((table_size,), jnp.float32),
+            coords=jnp.full((table_size, 3), jnp.iinfo(jnp.int32).min,
+                            jnp.int32),
+            leaf=self.cfg.lidar.vgicp_resolution, table_size=table_size)
+
     def _body_to_lidar_pose(self, p_b, q_b):
         """T_w_l = T_w_b ∘ T_b_l (EX_LB maps lidar→body)."""
         q_l = lie.quat_mul(jnp.asarray(q_b), jnp.asarray(self.q_lb))
@@ -211,43 +269,52 @@ class LidarFrontend:
         if bs is None or be is None:
             return None
 
-        # interpolated body poses at sweep start/end → lidar-frame poses
-        def interp(bracket, t):
+        prev = self.prev
+
+        def alpha(bracket, t):
             i, j = bracket
-            a = (t - window_times[i]) / max(window_times[j]
-                                            - window_times[i], 1e-6)
-            q = lie.quat_slerp(s.q[i], s.q[j], a)
-            p = s.p[i] * (1 - a) + s.p[j] * a
-            return p, q
+            return (t - window_times[i]) / max(window_times[j]
+                                               - window_times[i], 1e-6)
 
-        p_bs, q_bs = interp(bs, t_start)
-        p_be, q_be = interp(be, t_end)
-        pl_s, ql_s = self._body_to_lidar_pose(p_bs, q_bs)
-        pl_e, ql_e = self._body_to_lidar_pose(p_be, q_be)
+        # host-computed brackets for (sweep start, sweep end, prev end);
+        # the previous key-sweep pose is re-interpolated from the CURRENT
+        # window when still bracketed (reference PredictRelative_rt,
+        # lidar_frontend.cpp:921-987 — the stored snapshot goes stale as
+        # the window re-optimizes), else its stored pose is used
+        bp = (self.find_bracket(window_times, prev.t_end)
+              if prev is not None else None)
+        idx = np.asarray([bs, be, bp if bp is not None else (0, 1)],
+                         np.int32)
+        alphas = np.asarray(
+            [alpha(bs, t_start), alpha(be, t_end),
+             alpha(bp, prev.t_end) if bp is not None else 0.0], np.float32)
 
-        pts_j = jnp.asarray(pts)
-        undist = _deskew_jit(pts_j, jnp.asarray(rel_time), pl_s, ql_s,
-                             pl_e, ql_e, scan_period=lc.scan_period)
-        down = _downsample_jit(undist, jnp.asarray(mask), leaf=lc.leaf_size,
-                               max_out=8192)
-        # Gaussian voxel stats come from the RAW deskewed cloud (dense
-        # enough to meet min_points per voxel); the published map cloud is
-        # the 0.3-leaf downsample; the REGISTRATION source is the voxel
-        # centroids at the same leaf as the target map — this cancels the
-        # point-to-voxel-mean quantization bias (identical clouds register
-        # exactly to identity).
-        vmap_new = _build_map_jit(undist, jnp.asarray(mask),
-                                  leaf=lc.vgicp_resolution)
-        reg_src = _downsample_jit(undist, jnp.asarray(mask),
-                                  leaf=lc.vgicp_resolution, max_out=4096)
+        if prev is not None:
+            prev_vmap = prev.vmap
+            prev_sp, prev_sq = prev.p_w, prev.q_w
+        else:
+            prev_vmap = self._empty_vmap()
+            prev_sp = jnp.zeros(3, jnp.float32)
+            prev_sq = jnp.asarray([1, 0, 0, 0], jnp.float32)
 
-        out = dict(t_end=t_end, pts=down.pts, mask=down.mask,
+        # the WHOLE sweep is one device program + (at most) one fetch
+        (undist, down_pts, down_mask, vmap_new, reg_pts, reg_mask,
+         pl_e, ql_e, p_be, q_be, pack) = _sweep_full_jit(
+            jnp.asarray(pts), jnp.asarray(rel_time), jnp.asarray(mask),
+            s.p, s.q, jnp.asarray(idx), jnp.asarray(alphas),
+            jnp.asarray(prev_sp), jnp.asarray(prev_sq),
+            jnp.asarray(bp is not None), jnp.asarray(prev is not None),
+            prev_vmap, jnp.asarray(self.q_lb), jnp.asarray(self.tlb),
+            jnp.asarray(self.rlb),
+            scan_period=lc.scan_period, leaf_size=lc.leaf_size,
+            vgicp_resolution=lc.vgicp_resolution,
+            iters=lc.vgicp_iters, max_corr_dist=lc.max_corr_dist)
+
+        out = dict(t_end=t_end, pts=down_pts, mask=down_mask,
                    full_pts=undist, full_mask=jnp.asarray(mask),
                    p_l=pl_e, q_l=ql_e, mode=0)
-
-        prev = self.prev
-        cur = KeySweep(t_end=t_end, pts=down.pts, mask=down.mask,
-                       reg_pts=reg_src.pts, reg_mask=reg_src.mask,
+        cur = KeySweep(t_end=t_end, pts=down_pts, mask=down_mask,
+                       reg_pts=reg_pts, reg_mask=reg_mask,
                        vmap=vmap_new,
                        bracket=(window_times[be[0]], window_times[be[1]]),
                        p_w=p_be, q_w=q_be)
@@ -255,33 +322,14 @@ class LidarFrontend:
             self.prev = cur
             return out
 
-        # VIO-predicted relative transform prev←cur in the LiDAR frame
-        # (reference PredictRelative_rt, lidar_frontend.cpp:921-987).
-        # Re-interpolate the previous sweep-end pose from the CURRENT window
-        # states when still bracketed — the snapshot stored at processing
-        # time goes stale as the window re-optimizes.
-        bp = self.find_bracket(window_times, prev.t_end)
-        if bp is not None:
-            prev_p_w, prev_q_w = interp(bp, prev.t_end)
-        else:
-            prev_p_w, prev_q_w = (jnp.asarray(prev.p_w),
-                                  jnp.asarray(prev.q_w))
-        pl_p, ql_p = self._body_to_lidar_pose(prev_p_w, prev_q_w)
-
-        # one device program, ONE blocking fetch for the whole sweep
-        hp = np.asarray(_reg_pack_jit(
-            cur.reg_pts, cur.reg_mask, prev.vmap, cur.vmap,
-            pl_p, ql_p, pl_e, ql_e,
-            jnp.asarray(prev_p_w), jnp.asarray(prev_q_w),
-            jnp.asarray(p_be), jnp.asarray(q_be),
-            jnp.asarray(self.rlb), jnp.asarray(self.tlb),
-            iters=lc.vgicp_iters, max_corr_dist=lc.max_corr_dist))
+        hp = np.asarray(pack)   # the sweep's single blocking readback
         t_icp, q_icp = hp[0:3], hp[3:7]
         fitness = float(hp[7])
         n_corr = int(hp[8])
         n_src = int(hp[9])
         yaw_guess = abs(float(hp[10]))
         p_rel_h = hp[11:14]
+        converged = bool(hp[46] > 0.5)
 
         # ---- constraint-mode classification (estimator.cpp:324-436);
         # additionally gate on correspondence count — with too few matched
@@ -290,7 +338,11 @@ class LidarFrontend:
         icp_t_l1 = float(np.abs(t_icp).sum())
         icp_good = (fitness < lc.fitness_fail
                     and n_corr >= max(50, int(0.4 * n_src)))
-        if icp_good and diff_t > 0.1:
+        if icp_good and diff_t > 0.1 and converged:
+            # drift-correct: only from a CONVERGED registration — the
+            # reference trusts its fitness alone (estimator.cpp:340), but a
+            # non-converged GN disagreeing with VIO by >10 cm is exactly
+            # the case where the heavy mode-3 factor would inject garbage
             mode = 3
         elif icp_good:
             mode = 2
@@ -305,7 +357,7 @@ class LidarFrontend:
         out["mode"] = mode
 
         # body-frame measured relative translation (EX_LB⁻¹ T EX_LB) —
-        # computed inside _reg_pack_jit, read from the pack
+        # computed inside _sweep_full_jit, read from the pack
         tb_ = hp[18:21]
         q_b_icp = hp[21:25]
 

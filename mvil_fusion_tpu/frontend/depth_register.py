@@ -8,7 +8,11 @@ range when the spread is < 2 m and depth > 3 m) and its node hookup
 
 TPU-first: the kd-tree is a single features×cloud max-inner-product matmul
 on the unit sphere; the range-image dedup is a scatter-min onto a fixed
-polar grid.  One jitted call per image.
+polar grid.  The cloud window is a fixed-capacity DEVICE ring buffer —
+clouds arrive already on device from the estimator's deskew, and a lookup
+is one jitted call + one packed fetch (on the tunneled TPU every host
+round-trip costs ~45 ms, so neither the clouds nor the per-frame camera
+pose ever bounce through the host).
 """
 
 from __future__ import annotations
@@ -22,16 +26,31 @@ import numpy as np
 from mvil_fusion_tpu.config import SystemConfig
 from mvil_fusion_tpu.utils import lie
 
-CLOUD_CAP = 32768
+N_CLOUDS = 8           # ring slots (≈ 5 s at the reference's 5 Hz feed)
+CLOUD_PTS = 8192       # per-cloud padded capacity (estimator's down.pts)
+
+
+@jax.jit
+def _push_cloud(bufs, masks, pts_l, mask, p_l, q_l):
+    """Roll the ring and write the new WORLD-frame cloud at slot -1."""
+    world = lie.quat_rotate(q_l[None, :], pts_l) + p_l[None, :]
+    bufs = jnp.concatenate([bufs[1:], world[None]], axis=0)
+    masks = jnp.concatenate([masks[1:], mask[None]], axis=0)
+    return bufs, masks
 
 
 @partial(jax.jit, static_argnames=("min_depth", "max_spread"))
-def _register_depth(feat_norm, feat_valid, cloud_cam, cloud_mask,
-                    min_depth: float = 3.0, max_spread: float = 2.0):
-    """feat_norm (F,2) normalized camera coords; cloud_cam (N,3) points in
-    the camera frame.  Returns (depth (F,), ok (F,))."""
+def _register_depth(feat_norm, feat_valid, bufs, masks, slot_ok,
+                    p_wc, q_wc, min_depth: float = 3.0,
+                    max_spread: float = 2.0):
+    """feat_norm (F,2) normalized camera coords; bufs (S,N,3) world-frame
+    ring.  Returns depth (F,) (-1 unknown)."""
     dtype = feat_norm.dtype
-    # unit-sphere directions
+    cloud_w = bufs.reshape(-1, 3)
+    cloud_mask = (masks & slot_ok[:, None]).reshape(-1)
+    R = lie.quat_to_mat(q_wc)
+    cloud_cam = (cloud_w - p_wc[None, :]) @ R
+
     f3 = jnp.concatenate([feat_norm, jnp.ones_like(feat_norm[:, :1])], -1)
     f_dir = f3 / jnp.linalg.norm(f3, axis=-1, keepdims=True)
     rng_ = jnp.linalg.norm(cloud_cam, axis=-1)
@@ -50,53 +69,69 @@ def _register_depth(feat_norm, feat_valid, cloud_cam, cloud_mask,
     keep = in_front & (rng_ <= best[jnp.minimum(cell, 360 * 360 - 1)] + 1e-3)
 
     # 3-NN by max inner product on the sphere
-    sim = f_dir @ c_dir.T                                   # (F,N)
+    sim = f_dir @ c_dir.T                                   # (F,S*N)
     sim = jnp.where(keep[None, :], sim, -2.0)
     top_sim, top_idx = jax.lax.top_k(sim, 3)
     r3 = rng_[top_idx]                                      # (F,3)
-    # angular gate: all 3 neighbors within ~1.5 deg
     ang_ok = jnp.all(top_sim > jnp.cos(jnp.deg2rad(1.5)), axis=-1)
     spread = jnp.max(r3, axis=-1) - jnp.min(r3, axis=-1)
     depth = jnp.mean(r3, axis=-1)
     ok = (feat_valid & ang_ok & (spread < max_spread)
           & (depth > min_depth))
-    return jnp.where(ok, depth, -1.0), ok
+    return jnp.where(ok, depth, -1.0)
 
 
 class DepthRegister:
     def __init__(self, cfg: SystemConfig, window_sec: float = 5.0):
         self.cfg = cfg
         self.window_sec = window_sec
-        self.clouds: list[tuple] = []   # (t, pts_world (M,3) np)
+        self.bufs = jnp.zeros((N_CLOUDS, CLOUD_PTS, 3), jnp.float32)
+        self.masks = jnp.zeros((N_CLOUDS, CLOUD_PTS), bool)
+        self.slot_t = np.full(N_CLOUDS, -np.inf)   # host: slot timestamps
 
-    def add_cloud(self, t: float, pts_world: np.ndarray):
-        """Deskewed cloud in the world frame (the estimator's lidar_cloud
-        topic, downsampled)."""
-        self.clouds.append((t, pts_world.astype(np.float32)))
-        while self.clouds and self.clouds[0][0] < t - self.window_sec:
-            self.clouds.pop(0)
+    @property
+    def clouds(self):
+        """Truthy when any cloud is live (API kept from the list version)."""
+        return [t for t in self.slot_t if np.isfinite(t)]
+
+    def add_cloud(self, t: float, pts_l, mask=None, p_l=None, q_l=None):
+        """Deskewed cloud + lidar pose (device arrays): rolled into the
+        world-frame ring entirely on device — no fetch.  Host callers may
+        pass a bare world-frame (M,3) numpy cloud (mask/pose omitted)."""
+        if mask is None or p_l is None:
+            # host world-frame cloud: chunk across ring slots if oversized
+            arr = np.asarray(pts_l, np.float32)
+            if len(arr) > CLOUD_PTS:
+                for k in range(0, min(len(arr), CLOUD_PTS * N_CLOUDS),
+                               CLOUD_PTS):
+                    self.add_cloud(t, arr[k:k + CLOUD_PTS])
+                return
+            pts_np = np.zeros((CLOUD_PTS, 3), np.float32)
+            n = len(arr)
+            pts_np[:n] = arr
+            m = np.zeros(CLOUD_PTS, bool)
+            m[:n] = True
+            pts_l, mask = jnp.asarray(pts_np), jnp.asarray(m)
+            p_l = np.zeros(3, np.float32)
+            q_l = np.asarray([1, 0, 0, 0], np.float32)
+        self.bufs, self.masks = _push_cloud(
+            self.bufs, self.masks, pts_l, mask,
+            jnp.asarray(p_l, jnp.float32), jnp.asarray(q_l, jnp.float32))
+        self.slot_t = np.roll(self.slot_t, -1)
+        self.slot_t[-1] = t
+        self.slot_t[self.slot_t < t - self.window_sec] = -np.inf
 
     def get_depth(self, t_img: float, feat_norm: np.ndarray,
                   feat_valid: np.ndarray, p_wc: np.ndarray,
                   q_wc: np.ndarray) -> np.ndarray:
-        """Depths for the current features given the camera pose T_w_c."""
-        if not self.clouds:
+        """Depths for the current features given the camera pose T_w_c.
+        One jitted call, one blocking fetch."""
+        slot_ok = np.isfinite(self.slot_t) \
+            & (self.slot_t > t_img - self.window_sec)
+        if not slot_ok.any():
             return np.full(len(feat_norm), -1.0, np.float32)
-        pts = np.concatenate([c for (_, c) in self.clouds], axis=0)
-        if len(pts) > CLOUD_CAP:
-            pts = pts[-CLOUD_CAP:]
-        buf = np.zeros((CLOUD_CAP, 3), np.float32)
-        buf[: len(pts)] = pts
-        mask = np.zeros(CLOUD_CAP, bool)
-        mask[: len(pts)] = True
-        w, x, y, z = np.asarray(q_wc, np.float64)
-        R = np.asarray([
-            [1 - 2 * (y * y + z * z), 2 * (x * y - w * z), 2 * (x * z + w * y)],
-            [2 * (x * y + w * z), 1 - 2 * (x * x + z * z), 2 * (y * z - w * x)],
-            [2 * (x * z - w * y), 2 * (y * z + w * x), 1 - 2 * (x * x + y * y)],
-        ], np.float32)  # host-side: avoids a device fetch per lookup
-        cam = (buf - np.asarray(p_wc, np.float32)[None, :]) @ R
-        depth, ok = _register_depth(
+        depth = _register_depth(
             jnp.asarray(feat_norm, jnp.float32), jnp.asarray(feat_valid),
-            jnp.asarray(cam), jnp.asarray(mask))
+            self.bufs, self.masks, jnp.asarray(slot_ok),
+            jnp.asarray(p_wc, jnp.float32), jnp.asarray(q_wc, jnp.float32))
         return np.asarray(depth)

@@ -62,6 +62,86 @@ def _lm_step_jit(sharp, sharp_mask, flat, flat_mask, corner_map, corner_mask,
     return p_new, q_new, pc, qc, pack
 
 
+@_partial(jax.jit, static_argnames=(
+    "n_rings", "n_azimuth", "scan_period", "outer_iters", "gn_iters",
+    "use_i", "corner_leaf", "surf_leaf", "crop_radius"))
+def _mapping_full_jit(full_pts, ring, rel_time, full_mask, inten,
+                      p_odom, q_odom, corner_map, corner_mask, surf_map,
+                      surf_mask, surf_map_i, accum_buf, accum_mask,
+                      p_corr, q_corr,
+                      n_rings, n_azimuth, scan_period, outer_iters,
+                      gn_iters, use_i, corner_leaf, surf_leaf,
+                      crop_radius):
+    """The ENTIRE mapping stage for one sweep as ONE device program:
+    LOAM grid organize → curvature feature extraction → scan-to-map GN (+
+    degeneracy gate + wmap_wodom correction) → rolling-map inserts + crop
+    → submap accumulation → host pack.  On the tunneled TPU each dependent
+    program execution costs tens of ms, so the former ~12-program chain
+    (organize, extract, step, 3 inserts, crop, plus unjitted quaternion
+    mini-ops) dominated the mapping stage regardless of FLOPs."""
+    from mvil_fusion_tpu.ops import loam_features as lfe
+
+    grid, occ, igrid = lfe.organize_grid(
+        full_pts, ring, rel_time, full_mask,
+        n_rings=n_rings, n_azimuth=n_azimuth, scan_period=scan_period,
+        intensity=inten)
+    feats = lfe.extract(grid, occ, igrid, use_intensity_mask=use_i)
+    sharp, sharp_mask = feats.sharp, feats.sharp_mask
+    flat, flat_mask = feats.less_flat, feats.less_flat_mask
+    flat_i = feats.less_flat_i
+
+    # transformAssociateToMap
+    q_guess = lie.quat_normalize(lie.quat_mul(q_corr, q_odom))
+    p_guess = lie.quat_rotate(q_corr, p_odom) + p_corr
+
+    ikw = dict(surf_i=flat_i, surf_map_i=surf_map_i) if use_i \
+        else dict(surf_i=None, surf_map_i=None)
+    p_new, q_new, n_e, n_p, res = loam_icp.scan_to_map(
+        sharp, sharp_mask, flat, flat_mask, corner_map, corner_mask,
+        surf_map, surf_mask, p_guess.astype(jnp.float32),
+        q_guess.astype(jnp.float32),
+        outer_iters=outer_iters, gn_iters=gn_iters, **ikw)
+    cnt_ok = (n_e + n_p) >= 50
+    p_new = jnp.where(cnt_ok, p_new, p_guess)
+    q_new = jnp.where(cnt_ok, q_new, q_guess)
+    p_oi, q_oi = lie.pose_inverse(jnp.asarray(p_odom, jnp.float32),
+                                  jnp.asarray(q_odom, jnp.float32))
+    pc, qc = lie.pose_compose(p_new, q_new, p_oi, q_oi)
+
+    # rolling-map inserts (re-voxelized) + crop
+    def insert(buf, msk, new_pts, new_mask, leaf, cap):
+        allp = jnp.concatenate([buf, new_pts], axis=0)
+        allm = jnp.concatenate([msk, new_mask], axis=0)
+        ds = voxel.voxel_downsample(allp, allm, leaf, cap)
+        return ds.pts, ds.mask
+
+    sharp_w = lie.quat_rotate(q_new[None, :], sharp) + p_new[None, :]
+    flat_w = lie.quat_rotate(q_new[None, :], flat) + p_new[None, :]
+    corner_map2, corner_mask2 = insert(corner_map, corner_mask, sharp_w,
+                                       sharp_mask, corner_leaf, CORNER_CAP)
+    surf4 = jnp.concatenate([surf_map, surf_map_i[:, None]], axis=1)
+    new4 = jnp.concatenate([flat_w, flat_i[:, None]], axis=1)
+    surf4_new, surf_mask2 = insert(surf4, surf_mask, new4, flat_mask,
+                                   surf_leaf, SURF_CAP)
+    d_s = jnp.linalg.norm(surf4_new[:, :3] - p_new[None, :], axis=-1)
+    surf_mask2 = surf_mask2 & (d_s < crop_radius)
+    d_c = jnp.linalg.norm(corner_map2 - p_new[None, :], axis=-1)
+    corner_mask2 = corner_mask2 & (d_c < crop_radius)
+    accum_buf2, accum_mask2 = insert(accum_buf, accum_mask, flat_w,
+                                     flat_mask, surf_leaf, SUBMAP_CAP)
+
+    f32 = jnp.float32
+    pack = jnp.concatenate([
+        p_new.astype(f32), q_new.astype(f32),          # 0:3, 3:7
+        jnp.stack([n_e.astype(f32), n_p.astype(f32),
+                   res.astype(f32)]),                  # 7:10
+        jnp.asarray(p_odom, f32), jnp.asarray(q_odom, f32),  # 10:13,13:17
+    ])
+    return (corner_map2, corner_mask2, surf4_new[:, :3], surf_mask2,
+            surf4_new[:, 3], accum_buf2, accum_mask2, pc, qc,
+            p_new, q_new, pack)
+
+
 @jax.jit
 def _submap_pack_jit(pts_w, mask, p, q):
     """World-frame accumulated cloud → key-pose body frame + mask, as one
@@ -141,6 +221,55 @@ class LocalMapper:
 
     # ------------------------------------------------------------------
 
+    def process_full(self, t: float, full_pts, ring, rel_time, full_mask,
+                     inten, p_odom, q_odom,
+                     n_rings: int, n_azimuth: int,
+                     scan_period: float) -> Optional[Submap]:
+        """One deskewed sweep through LOAM extraction + scan-to-map +
+        map/submap maintenance — a single device program and ONE blocking
+        fetch (the fused analog of scanRegistration + localMapping)."""
+        m = self.cfg.local_mapping
+        use_i = m.use_intensity and inten is not None
+        if inten is None:
+            inten = jnp.zeros((full_pts.shape[0],), jnp.float32)
+        (self.corner_map, self.corner_mask, self.surf_map, self.surf_mask,
+         self.surf_map_i, self.accum_buf, self.accum_mask,
+         self.p_corr, self.q_corr, p_dev, q_dev, pack) = _mapping_full_jit(
+            full_pts, jnp.asarray(ring), jnp.asarray(rel_time),
+            jnp.asarray(full_mask), jnp.asarray(inten, jnp.float32),
+            jnp.asarray(p_odom, jnp.float32), jnp.asarray(q_odom,
+                                                          jnp.float32),
+            self.corner_map, self.corner_mask, self.surf_map,
+            self.surf_mask, self.surf_map_i, self.accum_buf,
+            self.accum_mask,
+            jnp.asarray(self.p_corr, jnp.float32),
+            jnp.asarray(self.q_corr, jnp.float32),
+            n_rings=n_rings, n_azimuth=n_azimuth, scan_period=scan_period,
+            outer_iters=m.outer_iters, gn_iters=m.gn_iters, use_i=use_i,
+            corner_leaf=m.corner_leaf, surf_leaf=m.surf_leaf,
+            crop_radius=m.map_crop_radius)
+        self.initialized = True
+        hp = np.asarray(pack)            # the stage's single readback
+        return self._after_step(t, hp, p_dev, q_dev)
+
+    def _after_step(self, t, hp, p_dev, q_dev) -> Optional[Submap]:
+        """Host bookkeeping shared by process/process_full: trajectory,
+        submap trigger, emission."""
+        m = self.cfg.local_mapping
+        p_np, q_np = hp[0:3], hp[3:7]
+        odom_p_np, odom_q_np = hp[10:13], hp[13:17]
+        self.trajectory.append((t, p_np, q_np))
+        if self.accum_start_pose is None:
+            self.accum_start_pose = (p_np.copy(), q_np.copy(), t,
+                                     odom_p_np.copy(), odom_q_np.copy())
+        self.frames_since_submap += 1
+        dist = np.linalg.norm(p_np - self.accum_start_pose[0])
+        if (dist > m.submap_trigger_dist
+                or self.frames_since_submap >= m.submap_trigger_frames):
+            return self._emit_submap(t, p_np, q_np, p_dev, q_dev,
+                                     odom_p_np, odom_q_np)
+        return None
+
     def process(self, t: float, sharp, sharp_mask, flat, flat_mask,
                 p_odom: np.ndarray, q_odom: np.ndarray,
                 flat_i=None) -> Optional[Submap]:
@@ -191,28 +320,12 @@ class LocalMapper:
         self._crop(p_new)
         self.initialized = True
 
-        # ONE blocking readback per sweep
-        hp = np.asarray(pack)
-        p_np, q_np = hp[0:3], hp[3:7]
-        odom_p_np, odom_q_np = hp[10:13], hp[13:17]
-        self.trajectory.append((t, p_np, q_np))
-
-        # ---- submap accumulation + handoff (FOR_GLOBAL); the accumulated
-        # clouds stay ON DEVICE until emission
-        if self.accum_start_pose is None:
-            self.accum_start_pose = (p_np.copy(), q_np.copy(), t,
-                                     odom_p_np.copy(), odom_q_np.copy())
+        # submap accumulation + ONE blocking readback per sweep
         self.accum_buf, self.accum_mask = self._insert(
             self.accum_buf, self.accum_mask, flat_w, flat_mask,
             m.surf_leaf, SUBMAP_CAP)
-        self.frames_since_submap += 1
-        dist = np.linalg.norm(p_np - self.accum_start_pose[0])
-        if (dist > m.submap_trigger_dist
-                or self.frames_since_submap >= m.submap_trigger_frames):
-            sm = self._emit_submap(t, p_np, q_np, p_new, q_new,
-                                   odom_p_np, odom_q_np)
-            return sm
-        return None
+        hp = np.asarray(pack)
+        return self._after_step(t, hp, p_new, q_new)
 
     def _emit_submap(self, t, p_np, q_np, p_dev, q_dev,
                      p_odom, q_odom) -> Submap:

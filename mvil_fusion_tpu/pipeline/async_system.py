@@ -48,7 +48,16 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
             frame = system.tracker.process(t, img)
             if frame is None:
                 return None
-            return ("features", t, frame)
+            # lidar-aided feature depth on THIS stage (the reference's
+            # DepthRegister lives in the tracker node too,
+            # feature_tracker_node.cpp:252-337) — overlaps the lookup's
+            # device round-trip with the estimator's solve
+            ids = frame.ids[frame.valid]
+            norm = frame.norm[frame.valid]
+            vel = frame.vel[frame.valid]
+            depth = system._feature_depths(t, norm,
+                                           np.ones(len(ids), bool))
+            return ("features", t, (ids, norm, vel, depth))
         if kind == "lidar":
             pts, reflectivity = payload
             sweep = system.compensator.process(t, pts)
@@ -78,12 +87,7 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
             system.estimator.process_imu(t, acc, gyr)
             return None
         if kind == "features":
-            frame = payload
-            ids = frame.ids[frame.valid]
-            norm = frame.norm[frame.valid]
-            vel = frame.vel[frame.valid]
-            depth = system._feature_depths(t, norm,
-                                           np.ones(len(ids), bool))
+            ids, norm, vel, depth = payload
             system.estimator.process_features(t, ids, norm, vel, depth)
             return _drain_to_mapping(t)   # window advanced
         if kind == "sweep":

@@ -38,13 +38,6 @@ from mvil_fusion_tpu.utils import lie
 _organize_jit = jax.jit(lfe.organize_grid,
                         static_argnames=("n_rings", "n_azimuth",
                                          "scan_period"))
-# world-frame cloud + mask packed into one array → ONE blocking readback
-# per depth-register update (each separate fetch pays the ~45 ms tunnel RTT)
-_world_cloud_jit = jax.jit(lambda pts, mask, p, q: jnp.concatenate(
-    [lie.quat_rotate(q[None, :], pts) + p[None, :],
-     mask[:, None].astype(jnp.float32)], axis=1))
-
-
 def _np_quat_to_mat(q):
     w, x, y, z = np.asarray(q, np.float64)
     return np.asarray([
@@ -202,10 +195,10 @@ class VilSystem:
         async pipeline (the reference's DepthRegister subscribes to the
         estimator's lidar_cloud topic)."""
         if self.lidar_sweep_count % 2 == 0:
-            packed = np.asarray(_world_cloud_jit(out["pts"], out["mask"],
-                                                 out["p_l"], out["q_l"]))
-            self.depth_register.add_cloud(out["t_end"],
-                                          packed[packed[:, 3] > 0.5, :3])
+            # everything stays on device (ring-buffered world cloud)
+            self.depth_register.add_cloud(out["t_end"], out["pts"],
+                                          out["mask"], out["p_l"],
+                                          out["q_l"])
 
     def _map_lidar(self, sweep, out, reflectivity=None, lps_sink=None):
         """Post-estimator LiDAR path: LOAM feature extraction + local/
@@ -215,26 +208,17 @@ class VilSystem:
         if self.local_mapper is None:
             return out
 
-        # LOAM features from the full deskewed cloud (scanRegistration
-        # re-ingests /vils_estimator/lidar_cloud)
+        # the whole mapping stage (LOAM extraction from the full deskewed
+        # cloud + scan-to-map + map/submap upkeep) is ONE fused program
         lc = self.cfg.lidar
         lm = self.cfg.local_mapping
-        inten = None if reflectivity is None else jnp.asarray(
-            reflectivity, jnp.float32)
-        grid, occ, igrid = _organize_jit(
-            out["full_pts"], jnp.asarray(sweep.ring),
-            jnp.asarray(sweep.rel_time), out["full_mask"],
+        inten = None if (reflectivity is None or not lm.use_intensity) \
+            else jnp.asarray(reflectivity, jnp.float32)
+        sm = self.local_mapper.process_full(
+            out["t_end"], out["full_pts"], sweep.ring, sweep.rel_time,
+            out["full_mask"], inten, out["p_l"], out["q_l"],
             n_rings=lc.n_rings, n_azimuth=GRID_AZ,
-            scan_period=lc.scan_period, intensity=inten)
-        feats = _extract_jit(
-            grid, occ, igrid,
-            use_intensity_mask=(lm.use_intensity
-                                and reflectivity is not None))
-        sm = self.local_mapper.process(
-            out["t_end"], feats.sharp, feats.sharp_mask,
-            feats.less_flat, feats.less_flat_mask,
-            out["p_l"], out["q_l"],
-            flat_i=(feats.less_flat_i if lm.use_intensity else None))
+            scan_period=lc.scan_period)
         if sm is not None and self.global_mapper is not None:
             info = self.global_mapper.add_submap(sm)
             # LPS feedback (the /laser_localizer → estimator loop)

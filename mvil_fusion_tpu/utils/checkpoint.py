@@ -118,8 +118,12 @@ def save_system(system, path: str):
     if hasattr(system, "lidar_sweep_count"):
         blob["system"] = {
             "lidar_sweep_count": system.lidar_sweep_count,
-            "depth_clouds": system.depth_register.clouds
-            if hasattr(system, "depth_register") else [],
+            "depth_bufs": np.asarray(system.depth_register.bufs)
+            if hasattr(system, "depth_register") else None,
+            "depth_masks": np.asarray(system.depth_register.masks)
+            if hasattr(system, "depth_register") else None,
+            "depth_slot_t": system.depth_register.slot_t.copy()
+            if hasattr(system, "depth_register") else None,
         }
     with open(path, "wb") as f:
         pickle.dump(blob, f, protocol=pickle.HIGHEST_PROTOCOL)
@@ -188,6 +192,11 @@ def load_system(system, path: str):
         gm._refresh_host_poses()
     if "system" in blob and hasattr(system, "lidar_sweep_count"):
         system.lidar_sweep_count = blob["system"]["lidar_sweep_count"]
-        if hasattr(system, "depth_register"):
-            system.depth_register.clouds = blob["system"]["depth_clouds"]
+        if hasattr(system, "depth_register") \
+                and blob["system"].get("depth_bufs") is not None:
+            system.depth_register.bufs = jnp.asarray(
+                blob["system"]["depth_bufs"])
+            system.depth_register.masks = jnp.asarray(
+                blob["system"]["depth_masks"])
+            system.depth_register.slot_t = blob["system"]["depth_slot_t"]
     return system
