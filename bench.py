@@ -15,8 +15,10 @@ Per-kernel device numbers live in benchmarks/kernels.py; the bare fused
 BA-step rate (round-1 metric) in benchmarks/frame_step.py.
 """
 
+import faulthandler
 import json
 import os
+import signal
 import pathlib
 import sys
 import time
@@ -33,6 +35,7 @@ def _log(msg):
 
 
 _T0 = time.perf_counter()
+faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps all stacks
 
 WARM_S = 4.0       # drives initialization + all compiles
 MEAS_S = 8.0
@@ -113,7 +116,14 @@ def main():
         assert pipe.quiesce(timeout=900.0), "warmup did not quiesce"
         _log(f"warm done; estimator status={system.estimator.status} "
              f"frames={len(system.frontend_trajectory())}")
+        # let XLA's background compilation threads drain — they otherwise
+        # starve the host threads on this 4-core box during the timed
+        # segment (stages+feeder measured ~5 s busy inside a ~100 s wall)
+        settle = float(os.environ.get("BENCH_SETTLE_S", "90"))
+        time.sleep(settle)
+        _log(f"settled {settle:.0f}s")
 
+        base_busy = {st.name: st.busy_s for st in pipe.stages}
         t0 = time.perf_counter()
         for m in meas:
             kind, t, payload = m
@@ -124,7 +134,10 @@ def main():
         _log("timed fed; quiescing")
         assert pipe.quiesce(timeout=900.0), "measurement did not quiesce"
         wall = time.perf_counter() - t0
-        _log(f"timed done in {wall:.1f}s")
+        _log(f"timed done in {wall:.1f}s; stage busy during timed segment: "
+             + ", ".join(
+                 f"{st.name}={st.busy_s - base_busy[st.name]:.1f}s"
+                 f"(n={st.processed})" for st in pipe.stages))
     finally:
         pipe.stop(timeout=120.0)
 

@@ -405,7 +405,22 @@ class LidarFrontend:
     def _calibrate_extrinsics(self):
         """Hand-eye LI rotation (lidar_frontend.cpp
         CalibrationLidarExRotation :32-141) followed by the bounded joint
-        (R_lb, T_lb) refinement (Lidar_align :233-331)."""
+        (R_lb, T_lb) refinement (Lidar_align :233-331).
+
+        One-shot eager LM solve → run on the in-process CPU backend when
+        the default device is the tunneled TPU (eager primitives each pay
+        a dispatch round-trip there)."""
+        if jax.default_backend() != "cpu":
+            try:
+                cpu = jax.devices("cpu")[0]
+            except RuntimeError:
+                cpu = None
+            if cpu is not None:
+                with jax.default_device(cpu):
+                    return self._calibrate_extrinsics_impl()
+        return self._calibrate_extrinsics_impl()
+
+    def _calibrate_extrinsics_impl(self):
         from mvil_fusion_tpu.estimator.initialization import hand_eye_rotation
         lc = self.cfg.lidar
         q_lb = hand_eye_rotation(

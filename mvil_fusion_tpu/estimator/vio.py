@@ -544,6 +544,27 @@ class VIOEstimator:
     # ------------------------------------------------------- initialization
 
     def _try_initialize(self) -> bool:
+        """Initialization entry: on a TPU backend the whole one-shot
+        solve chain (SfM RANSAC, hand-eye, the bounded stage-A/B LM
+        solvers) runs on the in-process CPU backend — these run EAGERLY
+        (op-by-op), and through the tunneled TPU every primitive costs a
+        dispatch round-trip (~5 min per attempt vs <1 s on host CPU)."""
+        if jax.default_backend() == "cpu":
+            return self._try_initialize_impl()
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            return self._try_initialize_impl()
+        with jax.default_device(cpu):
+            ok = self._try_initialize_impl()
+        if ok:
+            # commit the initialized state back to the default device
+            dev = jax.devices()[0]
+            self.state = jax.device_put(self.state, dev)
+            self.prior = jax.device_put(self.prior, dev)
+        return ok
+
+    def _try_initialize_impl(self) -> bool:
         W = self.W
         e = self.cfg.estimator
         feats = None

@@ -141,17 +141,18 @@ class GlobalMapper:
             return None
         pos = self.p_host[:n]
         d = np.linalg.norm(pos - center[None, :], axis=1)
-        k = min(5, n)
-        near = np.argsort(d)[:k]
-        pts_all, mask_all = [], []
-        for i in near:
+        near = np.argsort(d)[: min(5, n)]
+        # FIXED 5-block input: a varying scan count would recompile the
+        # map-build program (30-60 s each on the TPU) as the graph grows
+        pts = np.zeros((5 * SCAN_CAP, 3), np.float32)
+        mask = np.zeros(5 * SCAN_CAP, bool)
+        for s_, i in enumerate(near):
             p_i, q_i = self._node_pose(i)
             R = nplie.quat_to_mat(q_i).astype(np.float32)
-            pts_all.append(self.scans[i] @ R.T + p_i)
-            mask_all.append(self.scan_masks[i])
-        pts = jnp.asarray(np.concatenate(pts_all, axis=0))
-        mask = jnp.asarray(np.concatenate(mask_all, axis=0))
-        return _build_map_jit(pts, mask,
+            pts[s_ * SCAN_CAP:(s_ + 1) * SCAN_CAP] = \
+                self.scans[i] @ R.T + p_i
+            mask[s_ * SCAN_CAP:(s_ + 1) * SCAN_CAP] = self.scan_masks[i]
+        return _build_map_jit(jnp.asarray(pts), jnp.asarray(mask),
                               leaf=self.cfg.lidar.vgicp_resolution)
 
     def _register(self, scan, scan_mask, ref_map, p0, q0) -> np.ndarray:
@@ -359,17 +360,22 @@ class GlobalMapper:
         g = self.cfg.global_mapping
         p_i, q_i = self._node_pose(i)
         p_j, q_j = self._node_pose(j)
-        pts_all, mask_all = [], []
+        # fixed 3-block input (avoids per-count recompiles)
+        pts = np.zeros((3 * SCAN_CAP, 3), np.float32)
+        mask = np.zeros(3 * SCAN_CAP, bool)
+        s_ = 0
         for k in (j - 1, j, j + 1):
             if 0 <= k < self.n_nodes and k != i:
                 pk, qk = self._node_pose(k)
                 R = nplie.quat_to_mat(qk).astype(np.float32)
-                pts_all.append(self.scans[k] @ R.T + pk)
-                mask_all.append(self.scan_masks[k])
-        if not pts_all:
+                pts[s_ * SCAN_CAP:(s_ + 1) * SCAN_CAP] = \
+                    self.scans[k] @ R.T + pk
+                mask[s_ * SCAN_CAP:(s_ + 1) * SCAN_CAP] = \
+                    self.scan_masks[k]
+                s_ += 1
+        if s_ == 0:
             return False
-        ref = _build_map_jit(jnp.asarray(np.concatenate(pts_all)),
-                             jnp.asarray(np.concatenate(mask_all)),
+        ref = _build_map_jit(jnp.asarray(pts), jnp.asarray(mask),
                              leaf=self.cfg.lidar.vgicp_resolution)
         hp = self._register(jnp.asarray(self.scans[i]),
                             jnp.asarray(self.scan_masks[i]), ref, p_i, q_i)

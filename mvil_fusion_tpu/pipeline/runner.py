@@ -12,6 +12,7 @@ for reproducible tests.
 from __future__ import annotations
 
 import threading
+import time as _time
 import traceback
 from dataclasses import dataclass, field
 from typing import Callable, Optional
@@ -33,6 +34,7 @@ class Stage:
     thread: Optional[threading.Thread] = None
     processed: int = 0
     busy: bool = False            # an item is in flight inside fn
+    busy_s: float = 0.0           # cumulative wall seconds inside fn
     errors: list = field(default_factory=list)
 
 
@@ -64,6 +66,7 @@ class Pipeline:
                     st.outbox.close()
                 return
             st.busy = True
+            t0 = _time.perf_counter()
             try:
                 res = st.fn(item)
                 st.processed += 1
@@ -73,6 +76,7 @@ class Pipeline:
             except Exception:  # stage errors must not kill the pipeline
                 st.errors.append(traceback.format_exc())
             finally:
+                st.busy_s += _time.perf_counter() - t0
                 st.busy = False
 
     def start(self):
