@@ -87,8 +87,6 @@ def build_stream(duration: float):
 
 def main():
     import jax
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     from mvil_fusion_tpu.io.fixture import fixture_config
     from mvil_fusion_tpu.pipeline.async_system import build_pipeline
     from mvil_fusion_tpu.pipeline.system import VilSystem

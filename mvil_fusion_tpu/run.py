@@ -59,10 +59,8 @@ def run(args) -> dict:
     import jax
     if getattr(args, "platform", None):
         jax.config.update("jax_platforms", args.platform)
-    # persistent compile cache: the system compiles ~20 sizable XLA
-    # programs; caching them across runs cuts minutes of startup
-    jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    # NOTE: no persistent compile cache — XLA:CPU AOT deserialization
+    # segfaults in this image (see tests/conftest.py)
     cfg = (SystemConfig.from_json(args.config) if args.config
            else SystemConfig())
     system = VilSystem(cfg, use_tracker=True,

@@ -18,10 +18,12 @@ if "xla_force_host_platform_device_count" not in flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
-# persistent compilation cache: the estimator stack compiles ~20 sizable
-# XLA programs; caching them across test processes cuts minutes per run
-jax.config.update("jax_compilation_cache_dir", "/tmp/jax_cache")
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+# NOTE: the persistent compilation cache (jax_compilation_cache_dir) is
+# deliberately NOT enabled: in this image XLA:CPU AOT deserialization is
+# unreliable (machine-feature mismatch -> SIGILL/segfault reading back
+# entries, observed as "Fatal Python error" inside
+# compilation_cache.get_executable_and_time).  In-process jit caching
+# still applies; cross-process caching is not worth a crashing suite.
 
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
