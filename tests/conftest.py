@@ -25,6 +25,8 @@ jax.config.update("jax_platforms", "cpu")
 # compilation_cache.get_executable_and_time).  In-process jit caching
 # still applies; cross-process caching is not worth a crashing suite.
 
+import gc  # noqa: E402
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
@@ -32,3 +34,17 @@ import pytest  # noqa: E402
 @pytest.fixture
 def rng():
     return np.random.default_rng(0)
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _free_jax_memory_between_modules():
+    """Drop compiled executables between test modules.
+
+    The full ladder compiles hundreds of XLA programs in one process; the
+    accumulated executables + their bound constants eventually segfault
+    XLA:CPU's compiler late in the run (observed in the sharded-BA module
+    at ~60% of the suite).  Clearing per module trades some recompilation
+    for a suite that cannot tip over the process memory limit."""
+    yield
+    jax.clear_caches()
+    gc.collect()
