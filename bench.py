@@ -20,6 +20,7 @@ import json
 import os
 import signal
 import pathlib
+import subprocess
 import sys
 import time
 
@@ -37,10 +38,61 @@ def _log(msg):
 _T0 = time.perf_counter()
 faulthandler.register(signal.SIGUSR1)   # kill -USR1 <pid> dumps all stacks
 
-WARM_S = 4.0       # drives initialization + all compiles
-MEAS_S = 8.0
+WARM_S = float(os.environ.get("BENCH_WARM_S", "4.0"))  # init + compiles
+MEAS_S = float(os.environ.get("BENCH_MEAS_S", "8.0"))
 IMU_HZ, IMG_HZ, LIDAR_HZ = 200.0, 30.0, 10.0
 BASELINE_SENSOR_SEC_PER_SEC = 1.0
+
+# Backend bring-up resilience: the axon tunnel can be down/wedged for
+# minutes ("Unable to initialize backend 'axon': UNAVAILABLE", or
+# jax.devices() hanging >10 min).  The round must still record a number,
+# so first PROBE the backend in a disposable subprocess with a timeout,
+# retrying with backoff; only a healthy probe lets the in-process bench
+# touch the default backend.  On persistent failure fall back to the
+# in-process CPU backend and tag the record as degraded.
+PROBE_BUDGET_S = float(os.environ.get("BENCH_PROBE_BUDGET_S", "900"))
+PROBE_TIMEOUT_S = float(os.environ.get("BENCH_PROBE_TIMEOUT_S", "180"))
+
+_PROBE_SRC = (
+    "import jax, numpy as np\n"
+    "d = jax.devices()\n"
+    "x = np.asarray(jax.numpy.ones((8, 8)) * 2.0)\n"
+    "assert float(x.sum()) == 128.0\n"
+    "print('PROBE_OK', d[0].platform)\n"
+)
+
+
+def probe_backend() -> tuple[bool, str]:
+    """Try to bring up the default JAX backend in a subprocess, retrying
+    with backoff for up to PROBE_BUDGET_S.  Returns (ok, last_error)."""
+    if os.environ.get("BENCH_FORCE_BACKEND_FAIL", "") == "1":
+        return False, "forced failure (BENCH_FORCE_BACKEND_FAIL=1)"
+    deadline = time.monotonic() + PROBE_BUDGET_S
+    delay, last_err = 15.0, "no probe attempted"
+    attempt = 0
+    while True:
+        attempt += 1
+        budget = deadline - time.monotonic()
+        if budget <= 0:
+            return False, last_err
+        _log(f"backend probe attempt {attempt} "
+             f"(timeout {min(PROBE_TIMEOUT_S, budget):.0f}s)")
+        try:
+            r = subprocess.run(
+                [sys.executable, "-c", _PROBE_SRC],
+                capture_output=True, text=True,
+                timeout=min(PROBE_TIMEOUT_S, max(budget, 10.0)))
+            if r.returncode == 0 and "PROBE_OK" in r.stdout:
+                _log(f"backend probe ok: {r.stdout.strip()}")
+                return True, ""
+            last_err = (r.stderr.strip().splitlines() or ["rc=%d" % r.returncode])[-1]
+        except subprocess.TimeoutExpired:
+            last_err = f"probe timed out after {PROBE_TIMEOUT_S:.0f}s"
+        _log(f"probe failed: {last_err}")
+        if time.monotonic() + delay > deadline:
+            return False, last_err
+        time.sleep(delay)
+        delay = min(delay * 2, 240.0)
 
 
 def build_stream(duration: float):
@@ -85,8 +137,10 @@ def build_stream(duration: float):
     return msgs
 
 
-def main():
-    import jax
+def run_pipeline_bench(warm_s: float, meas_s: float) -> dict:
+    """The actual measurement: drive the full system through the threaded
+    pipeline; returns {"value", "stage_busy"}.  Assumes the JAX backend is
+    already decided (default or forced-CPU)."""
     from mvil_fusion_tpu.io.fixture import fixture_config
     from mvil_fusion_tpu.pipeline.async_system import build_pipeline
     from mvil_fusion_tpu.pipeline.system import VilSystem
@@ -94,9 +148,9 @@ def main():
     cfg = fixture_config()
     system = VilSystem(cfg, use_tracker=True, enable_mapping=True)
     _log("building sensor stream")
-    msgs = build_stream(WARM_S + MEAS_S)
-    warm = [m for m in msgs if m[1] < WARM_S]
-    meas = [m for m in msgs if m[1] >= WARM_S]
+    msgs = build_stream(warm_s + meas_s)
+    warm = [m for m in msgs if m[1] < warm_s]
+    meas = [m for m in msgs if m[1] >= warm_s]
     _log(f"stream ready: {len(warm)} warm + {len(meas)} timed msgs")
 
     pipe = build_pipeline(system, deterministic=False)
@@ -143,14 +197,60 @@ def main():
         if st.errors:
             raise RuntimeError(f"stage {st.name}:\n" + st.errors[0])
     span = meas[-1][1] - meas[0][1]
-    value = span / wall
-    print(json.dumps({
+    busy = {st.name: round(st.busy_s - base_busy[st.name], 2)
+            for st in pipe.stages}
+    return {"value": span / wall, "stage_busy": busy}
+
+
+def _emit(value, degraded=False, error=None, extra=None):
+    """Print THE one JSON line.  A round must never end without it."""
+    rec = {
         "metric": "pipeline_sensor_sec_per_sec",
-        "value": round(value, 3),
-        "unit": "sensor-sec/s (200Hz IMU + 30Hz 640x480 video + 10Hz 16x900pt lidar, full SLAM)",
-        "vs_baseline": round(value / BASELINE_SENSOR_SEC_PER_SEC, 3),
-    }))
+        "value": round(float(value), 3),
+        "unit": ("sensor-sec/s (200Hz IMU + 30Hz 640x480 video + "
+                 "10Hz 16x900pt lidar, full SLAM)"),
+        "vs_baseline": round(float(value) / BASELINE_SENSOR_SEC_PER_SEC, 3),
+    }
+    if degraded:
+        rec["degraded"] = True
+    if error:
+        rec["error"] = str(error)[:500]
+    if extra:
+        rec.update(extra)
+    print(json.dumps(rec), flush=True)
+
+
+def main():
+    ok, probe_err = probe_backend()
+    degraded = not ok
+    if degraded:
+        # persistent backend failure: record a CPU-backend pipeline number
+        # tagged as degraded rather than crashing with no value at all
+        _log(f"default backend unreachable ({probe_err}); "
+             "falling back to in-process CPU backend")
+        import jax
+        jax.config.update("jax_platforms", "cpu")
+        warm_s = float(os.environ.get("BENCH_DEGRADED_WARM_S", "3.0"))
+        meas_s = float(os.environ.get("BENCH_DEGRADED_MEAS_S", "4.0"))
+        os.environ.setdefault("BENCH_SETTLE_S", "10")
+    else:
+        warm_s, meas_s = WARM_S, MEAS_S
+
+    try:
+        res = run_pipeline_bench(warm_s, meas_s)
+    except Exception as e:   # noqa: BLE001 — the record must still exist
+        import traceback
+        traceback.print_exc()
+        _emit(0.0, degraded=degraded,
+              error=(probe_err + " | " if degraded else "")
+              + f"bench run failed: {e!r}")
+        return
+    _emit(res["value"], degraded=degraded,
+          error=probe_err if degraded else None,
+          extra={"stage_busy_s": res["stage_busy"],
+                 "backend": "cpu-fallback" if degraded else "default"})
 
 
 if __name__ == "__main__":
     main()
+    sys.exit(0)

@@ -213,6 +213,7 @@ class VIOEstimator:
         # unbounded vectors; here static shape + decimation on overflow)
         self.imu_nmax = max(int(cfg.imu.max_imu_per_frame), 8)
         self.imu_decimations = 0   # observability: how often overflow hit
+        self.imu_disorder = 0      # dropped out-of-order IMU samples
         self.solve_info: dict = {}
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
@@ -283,6 +284,19 @@ class VIOEstimator:
     # ------------------------------------------------------------------ IMU
 
     def process_imu(self, t: float, acc: np.ndarray, gyr: np.ndarray):
+        """IMU intake.  Non-monotonic samples are REJECTED (the reference's
+        disorder guard, estimator_node.cpp:238-242 "imu message in disorder")
+        — a disordered stream would otherwise inject negative dt into the
+        preintegration scan."""
+        if self.last_imu is not None and t <= self.last_imu[0]:
+            self.imu_disorder += 1
+            if self.imu_disorder == 1:
+                import warnings
+                warnings.warn(
+                    f"IMU timestamp disorder: {t:.6f} <= "
+                    f"{self.last_imu[0]:.6f} — sample dropped",
+                    RuntimeWarning, stacklevel=2)
+            return
         self._pending.acc.append(np.asarray(acc, np.float32))
         self._pending.gyr.append(np.asarray(gyr, np.float32))
         self._pending.t.append(t)
@@ -828,6 +842,10 @@ class VIOEstimator:
         frontend and carrying over its calibrated extrinsics."""
         failures = self.failures + 1
         trajectory = self.trajectory
+        # the reference's EX_RESULT_PATH stream persists across clearState —
+        # carry the already-recorded rows (and solver diagnostics) over
+        ex_results = self.ex_results
+        solve_info = self.solve_info
         cfg = self.cfg
         keep_qic, keep_tic = self.state.qic, self.state.tic
         lidar_prev = self.lidar
@@ -835,6 +853,8 @@ class VIOEstimator:
         self.state = self.state._replace(qic=keep_qic, tic=keep_tic)
         self.failures = failures
         self.trajectory = trajectory
+        self.ex_results = ex_results
+        self.solve_info = solve_info
         if lidar_prev is not None:
             self.enable_lidar()
             self.lidar.rlb = lidar_prev.rlb

@@ -82,17 +82,24 @@ def _register_depth(feat_norm, feat_valid, bufs, masks, slot_ok,
 
 
 class DepthRegister:
+    """Thread-safety: in the async pipeline the estimator stage WRITES
+    (add_cloud) while the frontend stage READS (get_depth) concurrently.
+    The ring (bufs, masks, slot_t) is therefore published as ONE tuple
+    (`_snap`) — a single atomic attribute store — so a reader can never
+    pair a new cloud ring with stale slot timestamps.  There is exactly
+    one writer; no lock needed."""
+
     def __init__(self, cfg: SystemConfig, window_sec: float = 5.0):
         self.cfg = cfg
         self.window_sec = window_sec
-        self.bufs = jnp.zeros((N_CLOUDS, CLOUD_PTS, 3), jnp.float32)
-        self.masks = jnp.zeros((N_CLOUDS, CLOUD_PTS), bool)
-        self.slot_t = np.full(N_CLOUDS, -np.inf)   # host: slot timestamps
+        self._snap = (jnp.zeros((N_CLOUDS, CLOUD_PTS, 3), jnp.float32),
+                      jnp.zeros((N_CLOUDS, CLOUD_PTS), bool),
+                      np.full(N_CLOUDS, -np.inf))
 
     @property
     def clouds(self):
         """Truthy when any cloud is live (API kept from the list version)."""
-        return [t for t in self.slot_t if np.isfinite(t)]
+        return [t for t in self._snap[2] if np.isfinite(t)]
 
     def add_cloud(self, t: float, pts_l, mask=None, p_l=None, q_l=None):
         """Deskewed cloud + lidar pose (device arrays): rolled into the
@@ -114,24 +121,26 @@ class DepthRegister:
             pts_l, mask = jnp.asarray(pts_np), jnp.asarray(m)
             p_l = np.zeros(3, np.float32)
             q_l = np.asarray([1, 0, 0, 0], np.float32)
-        self.bufs, self.masks = _push_cloud(
-            self.bufs, self.masks, pts_l, mask,
+        bufs, masks, slot_t = self._snap
+        bufs, masks = _push_cloud(
+            bufs, masks, pts_l, mask,
             jnp.asarray(p_l, jnp.float32), jnp.asarray(q_l, jnp.float32))
-        self.slot_t = np.roll(self.slot_t, -1)
-        self.slot_t[-1] = t
-        self.slot_t[self.slot_t < t - self.window_sec] = -np.inf
+        slot_t = np.roll(slot_t, -1).copy()
+        slot_t[-1] = t
+        slot_t[slot_t < t - self.window_sec] = -np.inf
+        self._snap = (bufs, masks, slot_t)    # atomic publish
 
     def get_depth(self, t_img: float, feat_norm: np.ndarray,
                   feat_valid: np.ndarray, p_wc: np.ndarray,
                   q_wc: np.ndarray) -> np.ndarray:
         """Depths for the current features given the camera pose T_w_c.
         One jitted call, one blocking fetch."""
-        slot_ok = np.isfinite(self.slot_t) \
-            & (self.slot_t > t_img - self.window_sec)
+        bufs, masks, slot_t = self._snap    # one consistent snapshot
+        slot_ok = np.isfinite(slot_t) & (slot_t > t_img - self.window_sec)
         if not slot_ok.any():
             return np.full(len(feat_norm), -1.0, np.float32)
         depth = _register_depth(
             jnp.asarray(feat_norm, jnp.float32), jnp.asarray(feat_valid),
-            self.bufs, self.masks, jnp.asarray(slot_ok),
+            bufs, masks, jnp.asarray(slot_ok),
             jnp.asarray(p_wc, jnp.float32), jnp.asarray(q_wc, jnp.float32))
         return np.asarray(depth)

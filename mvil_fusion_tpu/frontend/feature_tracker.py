@@ -148,9 +148,13 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, ids,
     vel = jnp.where((survived & (dt > 0))[:, None],
                     (norm2 - prev_norm) / jnp.maximum(dt, 1e-6), 0.0)
 
+    # ids are BITCAST (not value-cast) into the f32 pack: float32 is only
+    # exact to 2^24, so long sessions would silently collide cast ids —
+    # the bitcast round-trips all 32 bits through the single packed fetch
+    ids_bits = jax.lax.bitcast_convert_type(ids2, jnp.float32)
     packed = jnp.concatenate([
         pts2, norm2, vel,
-        ids2[:, None].astype(jnp.float32),
+        ids_bits[:, None],
         valid2[:, None].astype(jnp.float32),
         track_cnt2[:, None].astype(jnp.float32)], axis=1)
     return _StepOut(pts=pts2, valid=valid2, track_cnt=track_cnt2,
@@ -256,7 +260,8 @@ class FeatureTracker:
         # ONE packed readback per published frame
         packed = np.asarray(out.packed)
         return FeatureFrame(
-            t=t, ids=packed[:, 6].astype(np.int64),
+            t=t,
+            ids=packed[:, 6].copy().view(np.int32).astype(np.int64),
             norm=packed[:, 2:4].copy(), vel=packed[:, 4:6].copy(),
             uv=packed[:, 0:2].copy(),
             depth=np.full(self.N, -1.0, np.float32),

@@ -31,6 +31,24 @@ SENSOR_PRESETS = {
 }
 
 
+def _hdl64_table() -> np.ndarray:
+    """HDL-64 per-ring elevation table (ascending, degrees): TWO sections —
+    lower block 32 lasers ≈1/2° apart (−24.9…−9.0°), upper block 32 lasers
+    1/3° apart (−8.33…+2.0°).  The reference declares an `uneven_` flag for
+    such ladders but never uses it (PointProcessor.h:131) and bins HDL-64
+    linearly over (−24.9, 2.0) — which mis-rings the upper block; this
+    table is the physically-correct layout."""
+    lower = np.linspace(-24.9, -9.0, 32)
+    upper = np.linspace(-8.33, 2.0, 32)
+    return np.concatenate([lower, upper]).astype(np.float32)
+
+
+# non-uniform ladders: preset name -> (R,) ascending elevation table
+SENSOR_ELEV_TABLES = {
+    "hdl64": _hdl64_table(),
+}
+
+
 class CompensatedSweep(NamedTuple):
     pts: np.ndarray        # (N,3)
     ring: np.ndarray       # (N,)
@@ -41,13 +59,15 @@ class CompensatedSweep(NamedTuple):
 
 
 @partial(jax.jit, static_argnames=("n_rings", "scan_period", "fov_down",
-                                   "fov_up", "min_dist", "max_dist"))
-def _annotate(pts, mask, start_azi, n_rings: int, scan_period: float,
-              fov_down: float, fov_up: float,
-              min_dist: float, max_dist: float):
+                                   "fov_up", "min_dist", "max_dist",
+                                   "has_table"))
+def _annotate(pts, mask, start_azi, elev_table, n_rings: int,
+              scan_period: float, fov_down: float, fov_up: float,
+              min_dist: float, max_dist: float, has_table: bool = False):
     ring, rel_time, ring_ok = dsk.ring_and_time(
         pts, n_rings, scan_period, fov_up_deg=fov_up, fov_down_deg=fov_down,
-        start_azimuth=start_azi)
+        start_azimuth=start_azi,
+        elev_table_deg=elev_table if has_table else None)
     rng = jnp.linalg.norm(pts, axis=-1)
     ok = mask & ring_ok & (rng > min_dist) & (rng < max_dist)
     intensity = ring.astype(pts.dtype) + rel_time
@@ -92,12 +112,16 @@ class LidarCompensator:
             valid = np.isfinite(pts).all(axis=-1)
         start_azi = (self._infer_start(pts, valid)
                      if lc.infer_start_ori else 0.0)
+        table = SENSOR_ELEV_TABLES.get(self.sensor)
         ring, rel, ok, inten = _annotate(
             jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
             jnp.asarray(start_azi, jnp.float32),
+            jnp.zeros(n_rings, jnp.float32) if table is None
+            else jnp.asarray(table),
             n_rings=n_rings, scan_period=lc.scan_period,
             fov_down=fov_down, fov_up=fov_up,
-            min_dist=lc.min_distance, max_dist=lc.max_distance)
+            min_dist=lc.min_distance, max_dist=lc.max_distance,
+            has_table=table is not None)
         return CompensatedSweep(
             pts=np.asarray(pts, np.float32), ring=np.asarray(ring),
             rel_time=np.asarray(rel), mask=np.asarray(ok),

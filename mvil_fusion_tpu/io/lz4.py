@@ -69,7 +69,12 @@ def xxh32(data: bytes, seed: int = 0) -> int:
 # ---------------------------------------------------------------------------
 
 def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
-    """Decode one raw LZ4 block."""
+    """Decode one raw LZ4 block.
+
+    Hardened against corrupt/crafted input: literal and match lengths are
+    validated against the remaining source and the declared `max_size`
+    BEFORE any copy, so a block declaring a multi-GiB match cannot blow up
+    memory, and truncated literal runs raise instead of silently clamping."""
     dst = bytearray()
     i = 0
     n = len(src)
@@ -79,16 +84,26 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
         lit_len = token >> 4
         if lit_len == 15:
             while True:
+                if i >= n:
+                    raise ValueError("corrupt LZ4 block: truncated "
+                                     "literal-length bytes")
                 b = src[i]
                 i += 1
                 lit_len += b
                 if b != 255:
                     break
         if lit_len:
+            if i + lit_len > n:
+                raise ValueError("corrupt LZ4 block: literal run past "
+                                 "end of source")
+            if max_size is not None and len(dst) + lit_len > max_size:
+                raise ValueError("LZ4 block exceeds declared size")
             dst += src[i:i + lit_len]
             i += lit_len
         if i >= n:
             break                      # last sequence: literals only
+        if i + 2 > n:
+            raise ValueError("corrupt LZ4 block: truncated match offset")
         offset = src[i] | (src[i + 1] << 8)
         i += 2
         if offset == 0:
@@ -96,11 +111,16 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
         match_len = (token & 0x0F) + 4
         if (token & 0x0F) == 15:
             while True:
+                if i >= n:
+                    raise ValueError("corrupt LZ4 block: truncated "
+                                     "match-length bytes")
                 b = src[i]
                 i += 1
                 match_len += b
                 if b != 255:
                     break
+        if max_size is not None and len(dst) + match_len > max_size:
+            raise ValueError("LZ4 block exceeds declared size")
         start = len(dst) - offset
         if start < 0:
             raise ValueError("corrupt LZ4 block: offset past start")
@@ -109,8 +129,6 @@ def decompress_block(src: bytes, max_size: int | None = None) -> bytes:
         else:                          # overlapping copy (RLE-style)
             for k in range(match_len):
                 dst.append(dst[start + k])
-        if max_size is not None and len(dst) > max_size:
-            raise ValueError("LZ4 block exceeds declared size")
     return bytes(dst)
 
 

@@ -118,11 +118,11 @@ def save_system(system, path: str):
     if hasattr(system, "lidar_sweep_count"):
         blob["system"] = {
             "lidar_sweep_count": system.lidar_sweep_count,
-            "depth_bufs": np.asarray(system.depth_register.bufs)
+            "depth_bufs": np.asarray(system.depth_register._snap[0])
             if hasattr(system, "depth_register") else None,
-            "depth_masks": np.asarray(system.depth_register.masks)
+            "depth_masks": np.asarray(system.depth_register._snap[1])
             if hasattr(system, "depth_register") else None,
-            "depth_slot_t": system.depth_register.slot_t.copy()
+            "depth_slot_t": system.depth_register._snap[2].copy()
             if hasattr(system, "depth_register") else None,
         }
     with open(path, "wb") as f:
@@ -194,9 +194,8 @@ def load_system(system, path: str):
         system.lidar_sweep_count = blob["system"]["lidar_sweep_count"]
         if hasattr(system, "depth_register") \
                 and blob["system"].get("depth_bufs") is not None:
-            system.depth_register.bufs = jnp.asarray(
-                blob["system"]["depth_bufs"])
-            system.depth_register.masks = jnp.asarray(
-                blob["system"]["depth_masks"])
-            system.depth_register.slot_t = blob["system"]["depth_slot_t"]
+            system.depth_register._snap = (
+                jnp.asarray(blob["system"]["depth_bufs"]),
+                jnp.asarray(blob["system"]["depth_masks"]),
+                blob["system"]["depth_slot_t"])
     return system

@@ -260,3 +260,124 @@ def test_pure_rotation_yields_second_new_marginalization():
     assert raw > 0.02
     # …but the gyro-compensated keyframe decision says "not a keyframe"
     assert est.marg_old is False
+
+
+# ------------------------------------------- IMU timestamp disorder guard
+
+def test_imu_disorder_rejected():
+    """Out-of-order IMU samples are dropped with one warning (reference
+    estimator_node.cpp:238-242) — no negative dt may reach preintegration."""
+    import warnings
+    from mvil_fusion_tpu.estimator.vio import VIOEstimator
+    est = VIOEstimator(SystemConfig())
+    est.process_imu(0.00, np.zeros(3), np.zeros(3))
+    est.process_imu(0.01, np.zeros(3), np.zeros(3))
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        est.process_imu(0.005, np.ones(3), np.ones(3))   # disordered
+        est.process_imu(0.010, np.ones(3), np.ones(3))   # duplicate stamp
+    assert est.imu_disorder == 2
+    assert len([x for x in w if "disorder" in str(x.message)]) == 1
+    est.process_imu(0.02, np.zeros(3), np.zeros(3))
+    ts = np.asarray(est._pending.t)
+    assert np.all(np.diff(ts) > 0), ts
+    # downstream dt construction sees no negatives
+    assert len(est._pending.t) == 3
+
+
+def test_imu_disorder_no_nan_in_window():
+    """A disordered stream mid-run must not corrupt the window: feed a
+    shuffled burst and check the interval buffers stay monotonic."""
+    from mvil_fusion_tpu.estimator.vio import VIOEstimator
+    est = VIOEstimator(SystemConfig())
+    rng = np.random.default_rng(3)
+    ts = np.sort(rng.uniform(0, 1.0, 200))
+    shuffled = ts.copy()
+    shuffled[50:60] = shuffled[50:60][::-1]           # a disordered burst
+    for t in shuffled:
+        est.process_imu(t, rng.normal(0, 1, 3), rng.normal(0, 0.1, 3))
+    kept = np.asarray(est._pending.t)
+    assert np.all(np.diff(kept) > 0)
+    assert est.imu_disorder > 0
+
+
+# ------------------------------------------- non-uniform (hdl64) ring table
+
+def test_hdl64_two_section_ring_table():
+    """Synthetic two-section check: points emitted exactly at each HDL-64
+    laser elevation must map to their own ring (the linear ladder mis-bins
+    the 1/3°-spaced upper block; reference PointProcessor.h:77-81)."""
+    from mvil_fusion_tpu.frontend.lidar_compensator import (
+        LidarCompensator, SENSOR_ELEV_TABLES)
+    tab = SENSOR_ELEV_TABLES["hdl64"]
+    assert len(tab) == 64 and np.all(np.diff(tab) > 0)
+    # two sections: upper spacing ~1/3 deg, lower ~1/2 deg
+    lower_gap = np.diff(tab[:32]).mean()
+    upper_gap = np.diff(tab[32:]).mean()
+    assert 0.45 < lower_gap < 0.55
+    assert 0.30 < upper_gap < 0.37
+
+    cfg = SystemConfig(lidar=LidarConfig(infer_start_ori=False))
+    comp = LidarCompensator(cfg, sensor="hdl64")
+    azi = np.linspace(0, 2 * np.pi, 64, endpoint=False)
+    elev = np.deg2rad(tab)
+    pts = 10.0 * np.stack([np.cos(elev) * np.cos(azi),
+                           np.cos(elev) * np.sin(azi),
+                           np.sin(elev)], axis=1)
+    sweep = comp.process(0.0, pts.astype(np.float32))
+    assert sweep.mask.all()
+    assert np.array_equal(np.asarray(sweep.ring), np.arange(64))
+
+    # a point well below the bottom laser is rejected, not mis-binned
+    stray_elev = np.deg2rad(tab[0] - 1.0)
+    stray = 10.0 * np.asarray([[np.cos(stray_elev), 0.0, np.sin(stray_elev)]])
+    sw2 = comp.process(0.0, stray.astype(np.float32))
+    assert not sw2.mask.any()
+
+
+def test_linear_ladder_unchanged_for_16ring():
+    """The released 16-ring sensor keeps the linear ladder (regression)."""
+    from mvil_fusion_tpu.frontend.lidar_compensator import LidarCompensator
+    cfg = SystemConfig(lidar=LidarConfig(infer_start_ori=False))
+    comp = LidarCompensator(cfg)    # leishen_c16
+    elev = np.deg2rad(np.linspace(-15, 15, 16))
+    pts = 5.0 * np.stack([np.cos(elev), np.zeros(16), np.sin(elev)], axis=1)
+    sweep = comp.process(0.0, pts.astype(np.float32))
+    assert np.array_equal(np.asarray(sweep.ring), np.arange(16))
+
+
+# ---------------------------------------------------- lz4 corrupt-input guard
+
+def test_lz4_corrupt_block_rejected_before_copy():
+    """A crafted block declaring a huge match length must raise (bounded by
+    max_size) BEFORE growing the output, and truncated literal runs raise
+    instead of silently clamping."""
+    # token: 0 literals, match_len token 15 -> extended bytes: declare ~4 GiB
+    crafted = bytes([0x0F, 0x01, 0x00]) + b"\xff" * 2000 + b"\x00"
+    with pytest.raises(ValueError):
+        lz4.decompress_block(b"\x10A" + crafted, max_size=1 << 16)
+    # literal run longer than the remaining source
+    with pytest.raises(ValueError, match="literal run"):
+        lz4.decompress_block(bytes([0xF0, 200]) + b"ab", max_size=1 << 16)
+    # truncated length-extension bytes
+    with pytest.raises(ValueError, match="truncated"):
+        lz4.decompress_block(bytes([0xF0]) + b"\xff" * 3)
+
+
+def test_feature_ids_bitcast_exact_for_large_ids():
+    """Published ids survive the packed f32 readback exactly even past
+    2^24 (bitcast, not value cast)."""
+    from mvil_fusion_tpu.frontend.feature_tracker import FeatureTracker
+    cfg = SystemConfig()
+    tr = FeatureTracker(cfg)
+    tr.next_id = jnp.asarray(2 ** 24 + 3, jnp.int32)  # would collide as f32
+    img = (np.random.default_rng(0).uniform(0, 255, (cfg.camera.height,
+                                                     cfg.camera.width))
+           .astype(np.float32))
+    frame = tr.process(0.0, img)
+    assert frame is not None
+    got = np.sort(frame.ids[frame.valid])
+    assert got[0] >= 2 ** 24 + 3
+    assert len(np.unique(got)) == len(got)          # no collisions
+    # consecutive spawn ids — exact int round-trip
+    assert np.array_equal(got, np.arange(got[0], got[0] + len(got)))
