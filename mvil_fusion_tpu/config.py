@@ -15,7 +15,7 @@ from __future__ import annotations
 import dataclasses
 import json
 from dataclasses import dataclass, field
-from typing import Any, Tuple
+from typing import Any, Optional, Tuple
 
 
 def _freeze(x):
@@ -156,6 +156,13 @@ class LidarConfig:
     vgicp_iters: int = 12
     max_points: int = 32768       # static padded point capacity per sweep
     max_voxels: int = 16384       # static voxel-hash capacity
+    # spatial-hash table sizes, right-sized to the sweep scale: a 14k-pt
+    # sweep at 0.5 m leaves occupies ~5-10k voxels, so 2^16 buckets keep
+    # the load factor ≤0.15 while the per-sweep Gaussian-map build (scatter
+    # + whole-table closed-form eigen pass) runs 4x less device work than
+    # the former hardwired 2^18
+    vgicp_table_size: int = 1 << 16
+    downsample_table_size: int = 1 << 16
     # LiDAR-IMU extrinsic (ground truth init; reference yaml gt_rli/gt_tli)
     rlb: Tuple[float, ...] = (
         -0.0320631, 0.000946093, -0.999485,
@@ -204,6 +211,9 @@ class LocalMappingConfig:
     # surf selection (reference scanRegistration.cpp:575-614,
     # localMapping.cpp:697-709)
     use_intensity: bool = False
+    # spatial-hash size for rolling-map re-voxelization (up to ~64k pts
+    # through the surf insert; 2^17 keeps the load factor ≤0.5)
+    downsample_table_size: int = 1 << 17
     map_crop_radius: float = 60.0
 
 
@@ -232,6 +242,14 @@ class GlobalMappingConfig:
     pg_iters: int = 20
     map_voxel_size: float = 0.4
     map_capacity: int = 1 << 20
+    # graph capacities (None -> module defaults 512/2048/512); the CG
+    # solver (pose_graph.solve_cg) is linear in these, so they are budget
+    # knobs rather than memory walls
+    pg_n_max: Optional[int] = None
+    pg_e_max: Optional[int] = None
+    pg_z_max: Optional[int] = None
+    # per-LM-step CG iterations of the matrix-free solve
+    pg_cg_iters: int = 64
 
 
 @dataclass(frozen=True)

@@ -43,12 +43,13 @@ from functools import partial as _partial
 
 @_partial(jax.jit, static_argnames=("scan_period", "leaf_size",
                                     "vgicp_resolution", "iters",
-                                    "max_corr_dist"))
+                                    "max_corr_dist", "ds_table",
+                                    "vg_table"))
 def _sweep_full_jit(pts, rel_time, mask, state_p, state_q, idx, alphas,
                     prev_stored_p, prev_stored_q, prev_bracketed, has_prev,
                     prev_vmap, q_lb, tlb, rlb,
                     scan_period, leaf_size, vgicp_resolution, iters,
-                    max_corr_dist):
+                    max_corr_dist, ds_table=1 << 16, vg_table=1 << 16):
     """The ENTIRE per-sweep device pipeline as ONE program: window-pose
     interpolation → lidar-frame poses → deskew → downsamples → Gaussian
     voxel map → (when a previous key sweep exists) VGICP + constraint-mode
@@ -84,10 +85,13 @@ def _sweep_full_jit(pts, rel_time, mask, state_p, state_q, idx, alphas,
 
     undist = dsk.deskew_to_end(pts, rel_time, pl_s, ql_s, pl_e, ql_e,
                                scan_period)
-    down = voxel.voxel_downsample(undist, mask, leaf_size, 8192)
+    down = voxel.voxel_downsample(undist, mask, leaf_size, 8192,
+                                  table_size=ds_table)
     vmap_new = voxel.build_gaussian_voxel_map(undist, mask,
-                                              vgicp_resolution)
-    reg = voxel.voxel_downsample(undist, mask, vgicp_resolution, 4096)
+                                              vgicp_resolution,
+                                              table_size=vg_table)
+    reg = voxel.voxel_downsample(undist, mask, vgicp_resolution, 4096,
+                                 table_size=ds_table)
 
     def with_reg():
         p_rel, q_rel = lie.pose_between(pl_p, ql_p, pl_e, ql_e)
@@ -220,15 +224,25 @@ class LidarFrontend:
         self.calib_t_b: list = []
         self.calib_t_l: list = []
         self.calib_w: list = []
+        # constraint-mode histogram (modes 0-5; the reference surfaces the
+        # mode as colored RViz markers, mynteye_leishen_indoor.yaml:136)
+        self.mode_counts = [0] * 6
         self.calibrated = not lc.use_estimated_extrinsic
         self.deskewed_world: Optional[tuple] = None   # for depth register
+        # deferred-readback mode (async pipeline): the per-sweep packed
+        # fetch is harvested at the next sweep or at build_constraints —
+        # whichever comes first — instead of blocking right after dispatch
+        self.defer_pack = False
+        self._pending_pack: Optional[tuple] = None
 
     # -------------------------------------------------------------- helpers
 
-    def _empty_vmap(self, table_size: int = 1 << 18):
+    def _empty_vmap(self, table_size: int | None = None):
         """Placeholder previous-sweep map for the first sweep (the fused
         program's cond skips registration, but the pytree arg must have
         the real shapes)."""
+        if table_size is None:
+            table_size = self.cfg.lidar.vgicp_table_size
         return voxel.GaussianVoxelMap(
             mean=jnp.zeros((table_size, 3), jnp.float32),
             cov=jnp.zeros((table_size, 3, 3), jnp.float32),
@@ -263,6 +277,7 @@ class LidarFrontend:
         mapping/depth feedback), or None if the sweep cannot be bracketed.
         """
         lc = self.cfg.lidar
+        self._harvest_pack()        # drain the previous sweep's deferred pack
         t_end = t_start + lc.scan_period
         bs = self.find_bracket(window_times, t_start)
         be = self.find_bracket(window_times, t_end)
@@ -308,7 +323,9 @@ class LidarFrontend:
             jnp.asarray(self.rlb),
             scan_period=lc.scan_period, leaf_size=lc.leaf_size,
             vgicp_resolution=lc.vgicp_resolution,
-            iters=lc.vgicp_iters, max_corr_dist=lc.max_corr_dist)
+            iters=lc.vgicp_iters, max_corr_dist=lc.max_corr_dist,
+            ds_table=lc.downsample_table_size,
+            vg_table=lc.vgicp_table_size)
 
         out = dict(t_end=t_end, pts=down_pts, mask=down_mask,
                    full_pts=undist, full_mask=jnp.asarray(mask),
@@ -322,7 +339,38 @@ class LidarFrontend:
             self.prev = cur
             return out
 
+        if self.defer_pack:
+            # background D2H transfer; classification + constraint record
+            # happen at the harvest point (next sweep / build_constraints)
+            try:
+                pack.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending_pack = (pack, prev, cur)
+            self.prev = cur
+            out["mode"] = None        # known at harvest (self.last_mode)
+            return out
+
         hp = np.asarray(pack)   # the sweep's single blocking readback
+        mode = self._apply_sweep_pack(hp, prev, cur)
+        out["mode"] = mode
+        self.prev = cur
+        return out
+
+    def _harvest_pack(self):
+        """Drain a deferred sweep pack (no-op when none is pending)."""
+        if self._pending_pack is None:
+            return
+        pack, prev, cur = self._pending_pack
+        self._pending_pack = None
+        self._apply_sweep_pack(np.asarray(pack), prev, cur)
+
+    def _apply_sweep_pack(self, hp: np.ndarray, prev: "KeySweep",
+                          cur: "KeySweep") -> int:
+        """Constraint-mode classification + record/calibration bookkeeping
+        from the fetched (47,) sweep pack."""
+        lc = self.cfg.lidar
+        t_end = cur.t_end
         t_icp, q_icp = hp[0:3], hp[3:7]
         fitness = float(hp[7])
         n_corr = int(hp[8])
@@ -354,7 +402,7 @@ class LidarFrontend:
         if icp_t_l1 < lc.zero_velocity_trans and icp_good:
             mode = 4 if yaw_guess < lc.pure_rotation_yaw else 5
         self.last_mode = mode
-        out["mode"] = mode
+        self.mode_counts[mode] += 1
 
         # body-frame measured relative translation (EX_LB⁻¹ T EX_LB) —
         # computed inside _sweep_full_jit, read from the pack
@@ -398,9 +446,7 @@ class LidarFrontend:
             self.calib_w.append(1.0 / max(fitness, 1e-2))
             if len(self.calib_q_b) >= 30:
                 self._calibrate_extrinsics()
-
-        self.prev = cur
-        return out
+        return mode
 
     def _calibrate_extrinsics(self):
         """Hand-eye LI rotation (lidar_frontend.cpp
@@ -455,6 +501,7 @@ class LidarFrontend:
     def build_constraints(self, window_times: list):
         """Device tables for the window BA (modes 3 → ICP rows; any mode 4
         in the list → zero-velocity flag)."""
+        self._harvest_pack()   # the newest sweep's record must be in the list
         icp = lf.empty_icp()
         ids = np.zeros((lf.MAX_ICP, 4), np.int32)
         a_i = np.zeros(lf.MAX_ICP, np.float32)

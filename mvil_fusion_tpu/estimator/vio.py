@@ -215,6 +215,16 @@ class VIOEstimator:
         self.imu_decimations = 0   # observability: how often overflow hit
         self.imu_disorder = 0      # dropped out-of-order IMU samples
         self.solve_info: dict = {}
+        # deferred-readback mode (async pipeline): the per-frame packed
+        # fetch is harvested at the START of the next solve instead of
+        # blocking right after dispatch — copy_to_host_async prefetches the
+        # pack in the background, so by harvest time the bytes are already
+        # on host and the fetch costs ~0 instead of a tunnel round-trip
+        # plus the device-queue drain.  Host mirrors (td/bg/trajectory/
+        # failure detection) lag exactly one frame; values are identical.
+        self.defer_readback = False
+        self._pending_solve: Optional[tuple] = None
+        self._rerooted_pending: set = set()
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
         self.last_pose_host = None   # (p, q, tic, qic) from the last solve
@@ -312,6 +322,12 @@ class VIOEstimator:
         reference's td-aware getMeasurements (estimator_node.cpp:145-223) —
         so the projection factor's velocity term only compensates the small
         residual (td − td_at_pairing)."""
+        if self.defer_readback:
+            # harvest the previous frame's deferred pack BEFORE intake so
+            # td/bg/qic host mirrors are exactly as fresh as in sync mode
+            # (values identical, only the fetch timing differs); a deferred
+            # failure reboots here and this frame starts the new session
+            self._harvest_solve()
         td_now = self.td_host   # host cache, refreshed every solve — a
         t = t + td_now          # per-frame device fetch costs a tunnel RTT
         k = self.frame_count
@@ -748,6 +764,8 @@ class VIOEstimator:
     def _solve_and_slide(self):
         W, F = self.W, self.F
         e = self.cfg.estimator
+        if self.defer_readback and not self._harvest_solve():
+            return      # deferred failure detected -> rebooted, skip frame
         self._assign_slots()
         feats = self._build_features()
         need_depth = np.asarray([
@@ -772,6 +790,27 @@ class VIOEstimator:
             icp_tab, lps_tab, jnp.asarray(zero_vel), self._fix_mask,
             focal=e.focal_length, iters=e.max_solver_iters,
             marg_old=self.marg_old)
+
+        if self.defer_readback:
+            # start the background D2H transfer and harvest at the next
+            # solve; commit device state + prior + slide now (identical
+            # values, host mirrors lag one frame)
+            try:
+                host_pack.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending_solve = (host_pack, self.times[-1])
+            self._rerooted_pending = set()
+            self.state = s_new
+            if self.marg_old:
+                self.prior = prior_new
+                self._prior_valid = True
+                self._slide(old=True)
+            else:
+                if prior_valid_host:
+                    self.prior = prior_new
+                self._slide(old=False)
+            return
 
         # ONE blocking readback per frame (the pack is assembled on device;
         # separate fetches each pay the ~45 ms tunnel round-trip)
@@ -811,6 +850,53 @@ class VIOEstimator:
                 self.prior = prior_new
             self._slide(old=False)
 
+    def _harvest_solve(self) -> bool:
+        """Deferred-readback harvest: fetch the previous frame's pack
+        (already transferred in the background) and apply the host
+        bookkeeping — td/bg/qic mirrors, inv-depth mirrors, trajectory,
+        ex_results, failure detection.  Returns False when the deferred
+        failure check fires (the estimator rebooted; the caller must skip
+        the current frame)."""
+        pend = self._pending_solve
+        if pend is None:
+            return True
+        self._pending_solve = None
+        host_pack, t_frame = pend
+        e = self.cfg.estimator
+        hp = np.asarray(host_pack)
+        ban, bgn, dp, dz, finite = hp[0:5]
+        if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
+                or dp > e.fail_trans_jump or dz > e.fail_z_jump):
+            self._reboot()
+            return False
+        c_h = hp[5]
+        p_h, q_h, v_h = hp[6:9], hp[9:13], hp[13:16]
+        tic_h, qic_h, td_h = hp[16:19], hp[19:23], float(hp[23])
+        bg_h = hp[24:27]
+        inv_h = hp[27:]
+        self.td_host = td_h
+        self.bg_host = bg_h.astype(np.float32)
+        self.qic_host = qic_h.astype(np.float32)
+        self.solve_info["cost"] = float(c_h)
+        # slot->track depth mirrors: tracks re-rooted by the slide that ran
+        # between dispatch and harvest were reset to -1 on purpose — the
+        # stale pack value must not resurrect them
+        for s, fid in enumerate(self.slots):
+            if (fid is not None and fid in self.tracks
+                    and fid not in self._rerooted_pending
+                    and not self.tracks[fid].depth_fixed):
+                self.tracks[fid].inv_depth = float(inv_h[s])
+        self._rerooted_pending = set()
+        self.trajectory.append((t_frame, p_h, q_h, v_h))
+        self.last_pose_host = (p_h, q_h, tic_h, qic_h)
+        self._record_ex_results(t_frame, tic_h, qic_h, td_h)
+        return True
+
+    def flush(self):
+        """Drain any deferred readback (end of stream / checkpoint)."""
+        if self._pending_solve is not None:
+            self._harvest_solve()
+
     def _record_ex_results(self, t: float, tic=None, qic=None, td=None):
         """One row of the online extrinsic stream: camera-IMU ypr/t,
         lidar-IMU ypr/t, td (reference pubEXresults,
@@ -849,18 +935,22 @@ class VIOEstimator:
         cfg = self.cfg
         keep_qic, keep_tic = self.state.qic, self.state.tic
         lidar_prev = self.lidar
+        defer = self.defer_readback
         self.__init__(cfg)
         self.state = self.state._replace(qic=keep_qic, tic=keep_tic)
         self.failures = failures
         self.trajectory = trajectory
         self.ex_results = ex_results
         self.solve_info = solve_info
+        self.defer_readback = defer
         if lidar_prev is not None:
             self.enable_lidar()
             self.lidar.rlb = lidar_prev.rlb
             self.lidar.tlb = lidar_prev.tlb
             self.lidar.q_lb = lidar_prev.q_lb
             self.lidar.calibrated = lidar_prev.calibrated
+            self.lidar.defer_pack = lidar_prev.defer_pack
+            self.lidar.mode_counts = lidar_prev.mode_counts
 
     def _slide(self, old: bool):
         W = self.W
@@ -900,6 +990,7 @@ class VIOEstimator:
                 # frame; host-side approximation uses the (pre-shift) poses
                 # stored implicitly in inv_depth re-triangulation next round
                 tr.inv_depth = -1.0 if not tr.depth_fixed else tr.inv_depth
+                self._rerooted_pending.add(fid)
                 if tr.depth_fixed:
                     # lidar depth belongs to the dropped observation
                     tr.depth_fixed = False

@@ -135,12 +135,22 @@ class DepthRegister:
                   q_wc: np.ndarray) -> np.ndarray:
         """Depths for the current features given the camera pose T_w_c.
         One jitted call, one blocking fetch."""
+        depth = self.get_depth_device(t_img, feat_norm, feat_valid,
+                                      p_wc, q_wc)
+        if depth is None:
+            return np.full(len(feat_norm), -1.0, np.float32)
+        return np.asarray(depth)
+
+    def get_depth_device(self, t_img: float, feat_norm, feat_valid,
+                         p_wc, q_wc):
+        """Enqueue-only depth lookup: device arrays in, device array out
+        (or None when no cloud is live).  Used by the async pipeline to
+        defer the blocking fetch one frame (copy_to_host_async)."""
         bufs, masks, slot_t = self._snap    # one consistent snapshot
         slot_ok = np.isfinite(slot_t) & (slot_t > t_img - self.window_sec)
         if not slot_ok.any():
-            return np.full(len(feat_norm), -1.0, np.float32)
-        depth = _register_depth(
+            return None
+        return _register_depth(
             jnp.asarray(feat_norm, jnp.float32), jnp.asarray(feat_valid),
             bufs, masks, jnp.asarray(slot_ok),
             jnp.asarray(p_wc, jnp.float32), jnp.asarray(q_wc, jnp.float32))
-        return np.asarray(depth)

@@ -222,6 +222,18 @@ class FeatureTracker:
     def process(self, t: float, img: np.ndarray) -> FeatureFrame | None:
         """Track one image; returns a FeatureFrame when freq-gated to
         publish, else None (tracking state still updates)."""
+        publish, out = self.process_device(t, img)
+        if not publish:
+            return None
+        # ONE packed readback per published frame
+        return self.publish_from_packed(t, np.asarray(out.packed))
+
+    def process_device(self, t: float, img: np.ndarray):
+        """No-fetch tracking step: updates device state and returns
+        (should_publish, _StepOut).  The packed readback is the CALLER's
+        choice — the async pipeline defers it one frame
+        (copy_to_host_async + harvest at the next image) so the ~45 ms
+        tunnel fetch never blocks the frontend stage."""
         # stream discontinuity -> restart (reference: >1s gap)
         if self.prev_t is not None and (t - self.prev_t > 1.0
                                         or t < self.prev_t):
@@ -255,10 +267,13 @@ class FeatureTracker:
         self.prev_t = t
 
         if not self._should_publish(t):
-            return None
+            return False, out
         self.pub_count += 1
-        # ONE packed readback per published frame
-        packed = np.asarray(out.packed)
+        return True, out
+
+    def publish_from_packed(self, t: float,
+                            packed: np.ndarray) -> FeatureFrame:
+        """Host-side FeatureFrame assembly from the fetched (N,9) pack."""
         return FeatureFrame(
             t=t,
             ids=packed[:, 6].copy().view(np.int32).astype(np.int64),

@@ -50,11 +50,15 @@ SENSOR_ELEV_TABLES = {
 
 
 class CompensatedSweep(NamedTuple):
-    pts: np.ndarray        # (N,3)
-    ring: np.ndarray       # (N,)
-    rel_time: np.ndarray   # (N,)
-    mask: np.ndarray       # (N,)
-    intensity: np.ndarray  # (N,) ring + rel_time (reference encoding)
+    """Fields are DEVICE arrays: every production consumer (estimator
+    deskew, LOAM grid) is a jitted program, so fetching them to host here
+    would cost 4-5 tunnel round-trips per sweep for nothing.  Eager numpy
+    indexing still works on them (concrete jax arrays)."""
+    pts: jnp.ndarray       # (N,3)
+    ring: jnp.ndarray      # (N,)
+    rel_time: jnp.ndarray  # (N,)
+    mask: jnp.ndarray      # (N,)
+    intensity: jnp.ndarray # (N,) ring + rel_time (reference encoding)
     t_start: float
 
 
@@ -113,8 +117,9 @@ class LidarCompensator:
         start_azi = (self._infer_start(pts, valid)
                      if lc.infer_start_ori else 0.0)
         table = SENSOR_ELEV_TABLES.get(self.sensor)
+        pts_dev = jnp.asarray(pts, jnp.float32)
         ring, rel, ok, inten = _annotate(
-            jnp.asarray(pts, jnp.float32), jnp.asarray(valid),
+            pts_dev, jnp.asarray(valid),
             jnp.asarray(start_azi, jnp.float32),
             jnp.zeros(n_rings, jnp.float32) if table is None
             else jnp.asarray(table),
@@ -122,7 +127,5 @@ class LidarCompensator:
             fov_down=fov_down, fov_up=fov_up,
             min_dist=lc.min_distance, max_dist=lc.max_distance,
             has_table=table is not None)
-        return CompensatedSweep(
-            pts=np.asarray(pts, np.float32), ring=np.asarray(ring),
-            rel_time=np.asarray(rel), mask=np.asarray(ok),
-            intensity=np.asarray(inten), t_start=t_start)
+        return CompensatedSweep(pts=pts_dev, ring=ring, rel_time=rel,
+                                mask=ok, intensity=inten, t_start=t_start)

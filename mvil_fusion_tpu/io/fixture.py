@@ -121,3 +121,67 @@ def record_fixture_bag(path: str, duration: float = 12.0,
             rows.append((t, p, q))
         save_tum(gt_path, rows)
     return world
+
+
+def record_hard_fixture_bag(path: str, duration: float = 45.0,
+                            imu_hz: float = 200.0, image_hz: float = 10.0,
+                            lidar_hz: float = 4.0, n_azimuth: int = 360,
+                            seed: int = 0, compression: str = "lz4",
+                            gt_path: str | None = None):
+    """The HARD regression fixture: a long multi-floor trajectory with
+    exact revisits, so the full loop-closure machinery must fire (radius +
+    ScanContext candidates, floor bands, z-driven graph refreshes, and —
+    at reduced graph caps — capacity eviction).
+
+    The closed orbit has xy/z period = duration/2, so the second half of
+    the run re-traverses the first half's poses exactly: every late
+    keyed scan has a same-floor early neighbor within the proximity gate
+    (reference loop machinery: globalMappingIkdTree.cpp:300-312,434-510).
+    Used with checked-in expected metrics (tests/data/
+    hard_fixture_expected.json) as the accuracy ledger."""
+    rng = np.random.default_rng(seed)
+    period = duration / 2.0
+    traj = SyntheticTrajectory(duration=duration + 0.5,
+                               p_amp=(4.0, 3.0, 1.1),
+                               p_freq=(1.0 / period, 2.0 / period,
+                                       1.0 / period),
+                               w_amp=(0.3, 0.25, 0.4),
+                               w_freq=(2.0 / period, 1.0 / period,
+                                       3.0 / period),
+                               lin_vel=(0.0, 0.0, 0.0))
+    world = SyntheticWorld(traj=traj, n_landmarks=900,
+                           landmark_radius=10.0)
+    box = BoxWorld(room=(24.0, 20.0, 8.0))
+
+    w = rb.BagWriter(path, compression=compression)
+    w.add_connection(IMU_TOPIC, "sensor_msgs/Imu")
+    w.add_connection(IMAGE_TOPIC, "sensor_msgs/Image")
+    w.add_connection(LIDAR_TOPIC, "sensor_msgs/PointCloud2")
+    ric, tic = np.eye(3), np.zeros(3)
+    acc, gyr, _, ts = traj.imu_sequence(0.0, duration, imu_hz,
+                                        noise_acc=0.02, noise_gyr=0.004,
+                                        rng=rng)
+    for k in range(len(ts)):
+        w.write(IMU_TOPIC, ts[k], rb.encode_imu(ts[k], acc[k], gyr[k]))
+    for t in np.arange(0.2, duration, 1.0 / image_hz):
+        img = world.render_image(t, ric, tic, fx=FIXTURE_FX, fy=FIXTURE_FY,
+                                 cx=FIXTURE_CX, cy=FIXTURE_CY,
+                                 width=640, height=480)
+        w.write(IMAGE_TOPIC, t, rb.encode_image(t, img))
+    scan_period = 1.0 / lidar_hz
+    for t in np.arange(0.25, duration - scan_period, scan_period):
+        s = simulate_sweep(box, traj, t, scan_period=scan_period,
+                           n_azimuth=n_azimuth, rng=rng, noise=0.01)
+        inten = surface_reflectivity(s["pts_world"])
+        inten = np.where(s["mask"], inten, 0.0).astype(np.float32)
+        pts = np.where(s["mask"][:, None], s["pts"], 0.0)
+        w.write(LIDAR_TOPIC, t, rb.encode_pointcloud2(t, pts, inten))
+    w.close()
+
+    if gt_path is not None:
+        rows = []
+        for t in np.arange(0.0, duration, 0.02):
+            p, q = traj.pose_at(t)
+            rows.append((t, p, q))
+        save_tum(gt_path, rows)
+    return world

@@ -30,7 +30,8 @@ N_MAX = 512
 E_MAX = 2048
 Z_MAX = 512
 
-_solve_graph_jit = jax.jit(pg.solve, static_argnames=("iters",))
+_solve_graph_jit = jax.jit(pg.solve_cg,
+                           static_argnames=("iters", "cg_iters"))
 _build_map_jit = jax.jit(
     voxel.build_gaussian_voxel_map,
     static_argnames=("leaf", "table_size", "min_points", "plane_eps"))
@@ -51,8 +52,11 @@ def _greg_pack_jit(scan, scan_mask, ref_map, p0, q0, iters, max_corr_dist,
     """Keyed-scan registration against the reference map with the result
     packed into ONE (9,) fetch [p(3) q(4) fitness n_corr] — separate
     fetches each pay the ~45 ms tunnel round-trip."""
-    src_map = voxel.build_gaussian_voxel_map(scan, scan_mask, leaf)
-    reg = voxel.voxel_downsample(scan, scan_mask, leaf, 4096)
+    # right-sized hash tables: the keyed scan is ≤ SCAN_CAP (8192) points
+    src_map = voxel.build_gaussian_voxel_map(scan, scan_mask, leaf,
+                                             table_size=1 << 15)
+    reg = voxel.voxel_downsample(scan, scan_mask, leaf, 4096,
+                                 table_size=1 << 15)
     res = vgicp.vgicp_align(reg.pts, reg.mask, ref_map, src_map,
                             jnp.asarray(p0, jnp.float32),
                             jnp.asarray(q0, jnp.float32),
@@ -84,7 +88,13 @@ class GlobalMapper:
     def __init__(self, cfg: SystemConfig):
         self.cfg = cfg
         g = cfg.global_mapping
-        self.graph = pg.empty_graph(N_MAX, E_MAX, Z_MAX)
+        # capacities: config fields override the module defaults (the CG
+        # pose-graph solver is linear in capacity, so these are budget
+        # knobs, not architectural walls)
+        self.n_max = g.pg_n_max or N_MAX
+        self.e_max = g.pg_e_max or E_MAX
+        self.z_max = g.pg_z_max or Z_MAX
+        self.graph = pg.empty_graph(self.n_max, self.e_max, self.z_max)
         self.n_nodes = 0
         self.n_edges = 0
         self.n_z = 0
@@ -97,16 +107,17 @@ class GlobalMapper:
         self.loop_pairs: list[tuple] = []
         # ScanContext store lives ON DEVICE (uploading a (512,20,60) table
         # per detect would cost ~100 ms through the tunnel)
-        self.sc_desc = jnp.zeros((N_MAX, g.sc_num_ring, g.sc_num_sector),
+        self.sc_desc = jnp.zeros((self.n_max, g.sc_num_ring, g.sc_num_sector),
                                  jnp.float32)
-        self.sc_keys = jnp.zeros((N_MAX, g.sc_num_ring), jnp.float32)
+        self.sc_keys = jnp.zeros((self.n_max, g.sc_num_ring), jnp.float32)
         # host mirror of node poses: everything the host bookkeeping reads
         # (prediction chaining, radius loops, trajectory) without fetching;
         # refreshed from the device graph only after a solve
-        self.p_host = np.zeros((N_MAX, 3), np.float32)
+        self.p_host = np.zeros((self.n_max, 3), np.float32)
         self.q_host = np.tile(np.asarray([1, 0, 0, 0], np.float32),
-                              (N_MAX, 1))
+                              (self.n_max, 1))
         self._since_last_close = 10**9
+        self.evictions = 0       # capacity evictions (each drops n_max//4)
         self.map_refreshes = 0   # z-jump-triggered re-solves (reference
         #                          globalMappingIkdTree.cpp:290-298)
 
@@ -153,7 +164,8 @@ class GlobalMapper:
                 self.scans[i] @ R.T + p_i
             mask[s_ * SCAN_CAP:(s_ + 1) * SCAN_CAP] = self.scan_masks[i]
         return _build_map_jit(jnp.asarray(pts), jnp.asarray(mask),
-                              leaf=self.cfg.lidar.vgicp_resolution)
+                              leaf=self.cfg.lidar.vgicp_resolution,
+                              table_size=1 << 17)
 
     def _register(self, scan, scan_mask, ref_map, p0, q0) -> np.ndarray:
         """One packed fetch: [p(3) q(4) fitness n_corr]."""
@@ -166,7 +178,7 @@ class GlobalMapper:
 
     def _add_edge(self, i, j, dp, dq, w):
         e = self.n_edges
-        if e >= E_MAX:
+        if e >= self.e_max:
             return
         self.graph = self.graph._replace(
             e_i=self.graph.e_i.at[e].set(i),
@@ -184,6 +196,7 @@ class GlobalMapper:
         edges/priors touching evicted nodes are dropped."""
         k = min(k, self.n_nodes)
         n = self.n_nodes
+        self.evictions += 1
         p = np.array(self.graph.p)
         q = np.array(self.graph.q)
         nm = np.array(self.graph.node_mask)
@@ -247,8 +260,8 @@ class GlobalMapper:
         """Process one keyed submap; returns localization info (the
         /laser_localizer feedback for the estimator's LPS)."""
         g = self.cfg.global_mapping
-        if self.n_nodes >= N_MAX:
-            self._evict_oldest(N_MAX // 4)
+        if self.n_nodes >= self.n_max:
+            self._evict_oldest(self.n_max // 4)
         i = self.n_nodes
         scan, scan_mask = self._pad_scan(sm.pts)
 
@@ -317,7 +330,7 @@ class GlobalMapper:
         fh = g.floor_height
         z_floor = fid * fh
         near_floor = abs(float(p_new[2]) - z_floor) < 0.25 * fh
-        if self.n_z < Z_MAX:
+        if self.n_z < self.z_max:
             w = (1.0 / np.sqrt(50.0)) if near_floor else 1e-3
             self.graph = self.graph._replace(
                 z_node=self.graph.z_node.at[self.n_z].set(i),
@@ -334,7 +347,8 @@ class GlobalMapper:
         if closed:
             self.loops_closed += 1
             self._since_last_close = 0
-            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters,
+                                          cg_iters=g.pg_cg_iters)
             self._refresh_host_poses()
         elif i > 0 and abs(float(p_new[2])
                            - float(self.p_host[i - 1, 2])) > 0.5:
@@ -344,7 +358,8 @@ class GlobalMapper:
             # maximum-likelihood points (globalMappingIkdTree.cpp:290-298;
             # our reference map is scatter-rebuilt from graph poses per
             # query, so re-solving *is* the map refresh)
-            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters)
+            self.graph = _solve_graph_jit(self.graph, iters=g.pg_iters,
+                                          cg_iters=g.pg_cg_iters)
             self._refresh_host_poses()
             self.map_refreshes += 1
 
@@ -376,7 +391,8 @@ class GlobalMapper:
         if s_ == 0:
             return False
         ref = _build_map_jit(jnp.asarray(pts), jnp.asarray(mask),
-                             leaf=self.cfg.lidar.vgicp_resolution)
+                             leaf=self.cfg.lidar.vgicp_resolution,
+                             table_size=1 << 17)
         hp = self._register(jnp.asarray(self.scans[i]),
                             jnp.asarray(self.scan_masks[i]), ref, p_i, q_i)
         if (float(hp[7]) > g.max_tolerable_fitness or int(hp[8]) < 100):
@@ -410,11 +426,11 @@ class GlobalMapper:
         lim = self.n_nodes - g.sc_num_exclude_recent
         if lim <= 0:
             return False
-        db_mask = np.zeros(N_MAX, bool)
+        db_mask = np.zeros(self.n_max, bool)
         db_mask[:lim] = True
         same_floor = np.asarray(
             [self.floor_ids[k] == self.floor_ids[i] if k < lim else False
-             for k in range(N_MAX)])
+             for k in range(self.n_max)])
         db_mask &= same_floor
         if not db_mask.any():
             return False
@@ -466,7 +482,25 @@ class GlobalMapper:
             pts_all.append((self.scans[i] @ R.T + p_i)[self.scan_masks[i]])
         pts = np.concatenate(pts_all, axis=0).astype(np.float32)
         cap = 1 << 17
-        ds = _downsample_jit(jnp.asarray(pts[: 4 * cap]),
-                             jnp.ones(min(len(pts), 4 * cap), bool),
+        # fixed-shape input (pad/truncate to 4*cap): a varying point count
+        # would recompile the downsample per map size
+        buf = np.zeros((4 * cap, 3), np.float32)
+        n = min(len(pts), 4 * cap)
+        buf[:n] = pts[:n]
+        m = np.zeros(4 * cap, bool)
+        m[:n] = True
+        ds = _downsample_jit(jnp.asarray(buf), jnp.asarray(m),
                              leaf=leaf, max_out=cap)
         return np.asarray(ds.pts)[np.asarray(ds.mask)]
+
+    def mapping_stats(self) -> dict:
+        """Mapping-health counters for the runner's JSON result (the
+        reference surfaces these as RViz text markers,
+        globalMappingIkdTree.cpp:860-884)."""
+        return {
+            "nodes": int(self.n_nodes),
+            "edges": int(self.n_edges),
+            "loops_closed": int(self.loops_closed),
+            "map_refreshes": int(self.map_refreshes),
+            "evictions": int(self.evictions),
+        }

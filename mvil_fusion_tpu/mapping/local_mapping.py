@@ -64,14 +64,14 @@ def _lm_step_jit(sharp, sharp_mask, flat, flat_mask, corner_map, corner_mask,
 
 @_partial(jax.jit, static_argnames=(
     "n_rings", "n_azimuth", "scan_period", "outer_iters", "gn_iters",
-    "use_i", "corner_leaf", "surf_leaf", "crop_radius"))
+    "use_i", "corner_leaf", "surf_leaf", "crop_radius", "ds_table"))
 def _mapping_full_jit(full_pts, ring, rel_time, full_mask, inten,
                       p_odom, q_odom, corner_map, corner_mask, surf_map,
                       surf_mask, surf_map_i, accum_buf, accum_mask,
                       p_corr, q_corr,
                       n_rings, n_azimuth, scan_period, outer_iters,
                       gn_iters, use_i, corner_leaf, surf_leaf,
-                      crop_radius):
+                      crop_radius, ds_table=1 << 17):
     """The ENTIRE mapping stage for one sweep as ONE device program:
     LOAM grid organize → curvature feature extraction → scan-to-map GN (+
     degeneracy gate + wmap_wodom correction) → rolling-map inserts + crop
@@ -112,7 +112,8 @@ def _mapping_full_jit(full_pts, ring, rel_time, full_mask, inten,
     def insert(buf, msk, new_pts, new_mask, leaf, cap):
         allp = jnp.concatenate([buf, new_pts], axis=0)
         allm = jnp.concatenate([msk, new_mask], axis=0)
-        ds = voxel.voxel_downsample(allp, allm, leaf, cap)
+        ds = voxel.voxel_downsample(allp, allm, leaf, cap,
+                                    table_size=ds_table)
         return ds.pts, ds.mask
 
     sharp_w = lie.quat_rotate(q_new[None, :], sharp) + p_new[None, :]
@@ -192,6 +193,12 @@ class LocalMapper:
         self.frames_since_submap = 0
         self.trajectory: list = []     # Midend.txt equivalent
         self.submaps_emitted = 0
+        # deferred-readback mode (async pipeline): the per-sweep pack is
+        # harvested at the next sweep instead of blocking after dispatch;
+        # ordering (trajectory rows, submap trigger, map reset) is
+        # identical to sync mode, just shifted to the next call
+        self.defer_pack = False
+        self._pending: Optional[tuple] = None
 
     # ------------------------------------------------------------------
 
@@ -207,7 +214,9 @@ class LocalMapper:
         touched cubes, :800-868)."""
         allp = jnp.concatenate([buf, new_pts], axis=0)
         allm = jnp.concatenate([mask, new_mask], axis=0)
-        ds = _downsample_jit(allp, allm, leaf=leaf, max_out=cap)
+        ds = _downsample_jit(allp, allm, leaf=leaf, max_out=cap,
+                             table_size=self.cfg.local_mapping
+                             .downsample_table_size)
         return ds.pts, ds.mask
 
     def _crop(self, center: np.ndarray):
@@ -229,6 +238,9 @@ class LocalMapper:
         map/submap maintenance — a single device program and ONE blocking
         fetch (the fused analog of scanRegistration + localMapping)."""
         m = self.cfg.local_mapping
+        # drain the previous sweep's deferred pack FIRST: a submap emission
+        # must reset the rolling map before this sweep's insert runs
+        sm_prev = self._harvest() if self.defer_pack else None
         use_i = m.use_intensity and inten is not None
         if inten is None:
             inten = jnp.zeros((full_pts.shape[0],), jnp.float32)
@@ -247,10 +259,31 @@ class LocalMapper:
             n_rings=n_rings, n_azimuth=n_azimuth, scan_period=scan_period,
             outer_iters=m.outer_iters, gn_iters=m.gn_iters, use_i=use_i,
             corner_leaf=m.corner_leaf, surf_leaf=m.surf_leaf,
-            crop_radius=m.map_crop_radius)
+            crop_radius=m.map_crop_radius,
+            ds_table=m.downsample_table_size)
         self.initialized = True
+        if self.defer_pack:
+            try:
+                pack.copy_to_host_async()
+            except AttributeError:
+                pass
+            self._pending = (t, pack, p_dev, q_dev)
+            return sm_prev
         hp = np.asarray(pack)            # the stage's single readback
         return self._after_step(t, hp, p_dev, q_dev)
+
+    def _harvest(self) -> Optional[Submap]:
+        """Drain the deferred sweep pack; may emit the pending submap."""
+        if self._pending is None:
+            return None
+        t, pack, p_dev, q_dev = self._pending
+        self._pending = None
+        return self._after_step(t, np.asarray(pack), p_dev, q_dev)
+
+    def flush(self) -> Optional[Submap]:
+        """End-of-stream: drain any deferred pack (final trajectory row /
+        submap)."""
+        return self._harvest()
 
     def _after_step(self, t, hp, p_dev, q_dev) -> Optional[Submap]:
         """Host bookkeeping shared by process/process_full: trajectory,

@@ -153,3 +153,127 @@ def solve(g: PoseGraph, iters: int = 10, anchor_weight: float = 1e4,
     (p, q, _), _ = jax.lax.scan(step, (g.p, g.q, jnp.asarray(mu0, dtype)),
                                 None, length=iters)
     return g._replace(p=p, q=jax.vmap(lie.quat_normalize)(q))
+
+
+@full_precision
+def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
+             anchor_weight: float = 1e4, mu0: float = 1e-6,
+             jitter: float = 1e-6) -> PoseGraph:
+    """Scalable LM: matrix-free block-Jacobi-preconditioned CG.
+
+    The dense `solve` scatters edge Jacobians through one-hot (6,D)
+    matmuls into a (6N,6N) Hessian — O(E·6·6N) intermediates and an
+    O(N³) Cholesky make N_MAX a hard wall (151 MB of intermediates at
+    N=512, E=2048).  Here H is never materialized: H·x is two gathers,
+    one (E,6,12)·(E,12) contraction and two segment-sum scatters, so
+    memory is O(E·72 + N·36) — LINEAR in capacity — and the per-LM-step
+    solve is `cg_iters` sparse matvecs preconditioned by the inverted
+    per-node 6×6 diagonal blocks.  Replaces iSAM2 at scale (reference
+    globalMappingIkdTree.cpp:111-114) the TPU way: fixed-shape scan
+    loops, no factorization state."""
+    N = g.p.shape[0]
+    dtype = g.p.dtype
+
+    zw = g.z_w * g.z_mask.astype(dtype)
+    inactive_pin = (~g.node_mask).astype(dtype) * 1e6
+    anchor = jnp.zeros((N,), dtype).at[0].set(anchor_weight)
+
+    def edge_system(p, q):
+        """Masked per-edge residual (E,6) and Jacobian (E,6,12)."""
+        def per_edge(i, j, dp, dq, w, m):
+            def local(delta):
+                pi = p[i] + delta[0:3]
+                qi = lie.quat_mul(q[i], lie.quat_exp(delta[3:6]))
+                pj = p[j] + delta[6:9]
+                qj = lie.quat_mul(q[j], lie.quat_exp(delta[9:12]))
+                return _between_residual(pi, qi, pj, qj, dp, dq) * w
+
+            zeros = jnp.zeros((12,), dtype)
+            r = local(zeros)
+            J = jax.jacfwd(local)(zeros)          # (6,12)
+            mm = m.astype(dtype)
+            return r * mm, J * mm
+
+        return jax.vmap(per_edge)(g.e_i, g.e_j, g.e_dp, g.e_dq,
+                                  g.e_w, g.e_mask)
+
+    def z_residual(p):
+        return (p[g.z_node, 2] - g.z_val) * zw
+
+    def cost_of(p, q):
+        r_e, _ = edge_system(p, q)
+        r_z = z_residual(p)
+        return 0.5 * (jnp.sum(r_e * r_e) + jnp.sum(r_z * r_z))
+
+    def step(carry, _):
+        p, q, mu = carry
+        r_e, J_e = edge_system(p, q)
+        Ji = J_e[:, :, 0:6]                       # (E,6,6)
+        Jj = J_e[:, :, 6:12]
+        r_z = z_residual(p)
+
+        # rhs b = -Jᵀr, segment-summed per node (N,6)
+        b = (jnp.zeros((N, 6), dtype)
+             .at[g.e_i].add(-jnp.einsum("er,erk->ek", r_e, Ji))
+             .at[g.e_j].add(-jnp.einsum("er,erk->ek", r_e, Jj)))
+        b = b.at[g.z_node, 2].add(-(zw * r_z))
+
+        # block-diagonal of H (N,6,6) for damping + preconditioner
+        Dblk = (jnp.zeros((N, 6, 6), dtype)
+                .at[g.e_i].add(jnp.einsum("eri,erj->eij", Ji, Ji))
+                .at[g.e_j].add(jnp.einsum("eri,erj->eij", Jj, Jj)))
+        Dblk = Dblk.at[g.z_node, 2, 2].add(zw * zw)
+        diag_extra = (anchor + inactive_pin)[:, None]          # (N,1)
+        dh = jnp.einsum("nkk->nk", Dblk)                       # diag of H
+        damp = mu * dh + jitter + diag_extra                   # (N,6)
+        Mblk = Dblk + jax.vmap(jnp.diag)(damp)
+        Minv = jnp.linalg.inv(
+            Mblk + 1e-8 * jnp.eye(6, dtype=dtype)[None])       # (N,6,6)
+
+        def matvec(x):                                         # x (N,6)
+            t = (jnp.einsum("erk,ek->er", Ji, x[g.e_i])
+                 + jnp.einsum("erk,ek->er", Jj, x[g.e_j]))     # (E,6)
+            y = (jnp.zeros((N, 6), dtype)
+                 .at[g.e_i].add(jnp.einsum("er,erk->ek", t, Ji))
+                 .at[g.e_j].add(jnp.einsum("er,erk->ek", t, Jj)))
+            y = y.at[g.z_node, 2].add((zw * zw) * x[g.z_node, 2])
+            return y + damp * x
+
+        # preconditioned CG, fixed iteration count (masked-shape friendly)
+        def pc(v):
+            return jnp.einsum("nij,nj->ni", Minv, v)
+
+        x0 = jnp.zeros((N, 6), dtype)
+        r0 = b - matvec(x0)
+        z0 = pc(r0)
+
+        def cg_body(c, _):
+            x, r, z_, pdir, rz = c
+            Ap = matvec(pdir)
+            alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-30)
+            x = x + alpha * pdir
+            r = r - alpha * Ap
+            z_ = pc(r)
+            rz_new = jnp.sum(r * z_)
+            beta = rz_new / jnp.maximum(rz, 1e-30)
+            pdir = z_ + beta * pdir
+            return (x, r, z_, pdir, rz_new), None
+
+        (dx, *_), _ = jax.lax.scan(
+            cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
+            length=cg_iters)
+
+        c0 = 0.5 * (jnp.sum(r_e * r_e) + jnp.sum(r_z * r_z))
+        p_try = p + dx[:, 0:3]
+        q_try = jax.vmap(lie.quat_boxplus)(q, dx[:, 3:6])
+        c1 = cost_of(p_try, q_try)
+        ok = jnp.isfinite(c1) & (c1 < c0)
+        p_new = jnp.where(ok, p_try, p)
+        q_new = jnp.where(ok, q_try, q)
+        mu_new = jnp.where(ok, jnp.maximum(mu * 0.3, 1e-8),
+                           jnp.minimum(mu * 8.0, 1e4))
+        return (p_new, q_new, mu_new), c0
+
+    (p, q, _), _ = jax.lax.scan(step, (g.p, g.q, jnp.asarray(mu0, dtype)),
+                                None, length=iters)
+    return g._replace(p=p, q=jax.vmap(lie.quat_normalize)(q))

@@ -33,25 +33,43 @@ class LoamFeatures(NamedTuple):
 def organize_grid(pts: jnp.ndarray, ring: jnp.ndarray, rel_time: jnp.ndarray,
                   mask: jnp.ndarray, n_rings: int, n_azimuth: int,
                   scan_period: float, intensity: jnp.ndarray | None = None):
-    """Scatter an unordered sweep into a dense (R, A, 3) grid by
-    (ring, azimuth-bucket).  Later writers win on duplicate cells.
+    """COMPACT an unordered sweep into a (R, A, 3) per-ring sequence grid:
+    each ring's points are sorted by azimuth and left-packed, so column
+    neighbors are CONSECUTIVE EMITTED POINTS — exactly the neighborhood the
+    reference's per-ring curvature loop walks (scanRegistration.cpp
+    PrepareRing), independent of azimuth density.  (A bucket-scatter layout
+    breaks the 11-tap stencil for sweeps sparser than the grid: a 360-step
+    sweep over 1024 columns leaves no window fully occupied and ZERO
+    features extract.)
 
+    n_azimuth is the per-ring point capacity (overflow points drop).
     Returns (grid (R,A,3), occ (R,A), igrid (R,A)); igrid is zeros when no
     per-point intensity is supplied."""
+    N = pts.shape[0]
     a_idx = jnp.clip((rel_time / scan_period * n_azimuth).astype(jnp.int32),
                      0, n_azimuth - 1)
     r_idx = jnp.clip(ring, 0, n_rings - 1)
-    flat_idx = jnp.where(mask, r_idx * n_azimuth + a_idx,
-                         n_rings * n_azimuth)
-    grid = jnp.zeros((n_rings * n_azimuth, 3), pts.dtype).at[flat_idx].set(
-        pts, mode="drop")
-    occ = jnp.zeros((n_rings * n_azimuth,), bool).at[flat_idx].set(
+    # sort all points by (ring, azimuth); invalid points sink to the end
+    key = jnp.where(mask, r_idx * n_azimuth + a_idx,
+                    n_rings * n_azimuth)
+    order = jnp.argsort(key)                       # stable
+    seg = jnp.where(mask[order], r_idx[order], n_rings)  # (N,) sorted rings
+    # within-ring rank: position minus the ring's first sorted position
+    pos = jnp.arange(N, dtype=jnp.int32)
+    ring_start = jnp.full((n_rings + 1,), N, jnp.int32).at[seg].min(pos)
+    rank = pos - ring_start[seg]
+    dest = jnp.where((seg < n_rings) & (rank < n_azimuth),
+                     seg * n_azimuth + rank, n_rings * n_azimuth)
+    grid = jnp.zeros((n_rings * n_azimuth, 3), pts.dtype).at[dest].set(
+        pts[order], mode="drop")
+    occ = jnp.zeros((n_rings * n_azimuth,), bool).at[dest].set(
         True, mode="drop")
     if intensity is None:
         igrid = jnp.zeros((n_rings, n_azimuth), pts.dtype)
     else:
         igrid = jnp.zeros((n_rings * n_azimuth,), pts.dtype).at[
-            flat_idx].set(intensity, mode="drop").reshape(n_rings, n_azimuth)
+            dest].set(intensity[order],
+                      mode="drop").reshape(n_rings, n_azimuth)
     return (grid.reshape(n_rings, n_azimuth, 3),
             occ.reshape(n_rings, n_azimuth), igrid)
 

@@ -30,34 +30,83 @@ from mvil_fusion_tpu.pipeline.channels import Channel, Closed, Policy
 from mvil_fusion_tpu.pipeline.runner import MultiOut, Pipeline
 
 
-def build_pipeline(system, deterministic: bool = False) -> Pipeline:
+def build_pipeline(system, deterministic: bool = False,
+                   defer_readbacks: bool | None = None) -> Pipeline:
     """Wire a VilSystem onto a 3-stage pipeline.  Returns the Pipeline;
-    feed sensor tuples ('imu'|'image'|'lidar', t, payload) to stage 0."""
+    feed sensor tuples ('imu'|'image'|'lidar', t, payload) to stage 0.
+
+    defer_readbacks (default: on for threaded, off for deterministic):
+    every stage's per-event packed fetch becomes copy_to_host_async +
+    harvest-at-the-next-event, so no stage ever blocks on the shared
+    device queue behind another stage's in-flight programs — the round-2
+    throughput ceiling.  Results are identical; host-visible values lag
+    one event.  Feed ("flush", t, ()) at end of stream to drain the lag."""
     pipe = Pipeline(deterministic=deterministic)
+    if defer_readbacks is None:
+        defer_readbacks = not deterministic
+    if defer_readbacks:
+        system.estimator.defer_readback = True
+        if system.estimator.lidar is not None:
+            system.estimator.lidar.defer_pack = True
+        if system.local_mapper is not None:
+            system.local_mapper.defer_pack = True
     # mapping → estimator LPS feedback (small, drop-oldest like the
     # reference's bounded subscriber queues)
     lps_ch = Channel(capacity=8, policy=Policy.DROP_OLDEST)
     pipe.lps_channel = lps_ch
 
+    # one-slot deferred publish state of the frontend stage (single owner)
+    pending_pub: list = []
+
+    def _harvest_pub():
+        t_p, packed_dev, depth_dev = pending_pub.pop()
+        frame = system.tracker.publish_from_packed(t_p,
+                                                   np.asarray(packed_dev))
+        ids = frame.ids[frame.valid]
+        norm = frame.norm[frame.valid]
+        vel = frame.vel[frame.valid]
+        depth = (np.asarray(depth_dev)[frame.valid]
+                 if depth_dev is not None else None)
+        return ("features", t_p, (ids, norm, vel, depth))
+
     def frontend(msg):
         kind, t, payload = msg
         if kind == "imu":
             return msg
+        if kind == "flush":
+            outs = [_harvest_pub()] if pending_pub else []
+            outs.append(msg)
+            return MultiOut(outs)
         if kind == "image":
             (img,) = payload
-            frame = system.tracker.process(t, img)
-            if frame is None:
-                return None
-            # lidar-aided feature depth on THIS stage (the reference's
-            # DepthRegister lives in the tracker node too,
-            # feature_tracker_node.cpp:252-337) — overlaps the lookup's
-            # device round-trip with the estimator's solve
-            ids = frame.ids[frame.valid]
-            norm = frame.norm[frame.valid]
-            vel = frame.vel[frame.valid]
-            depth = system._feature_depths(t, norm,
-                                           np.ones(len(ids), bool))
-            return ("features", t, (ids, norm, vel, depth))
+            if not defer_readbacks:
+                frame = system.tracker.process(t, img)
+                if frame is None:
+                    return None
+                # lidar-aided feature depth on THIS stage (the reference's
+                # DepthRegister lives in the tracker node too,
+                # feature_tracker_node.cpp:252-337)
+                ids = frame.ids[frame.valid]
+                norm = frame.norm[frame.valid]
+                vel = frame.vel[frame.valid]
+                depth = system._feature_depths(t, norm,
+                                               np.ones(len(ids), bool))
+                return ("features", t, (ids, norm, vel, depth))
+            # deferred: enqueue this frame's pack + depth lookup, publish
+            # the PREVIOUS frame (its transfers completed in background)
+            publish, out = system.tracker.process_device(t, img)
+            res = _harvest_pub() if pending_pub else None
+            if publish:
+                depth_dev = system._feature_depths_device(t, out.norm,
+                                                          out.valid)
+                for a in (out.packed, depth_dev):
+                    if a is not None:
+                        try:
+                            a.copy_to_host_async()
+                        except AttributeError:
+                            pass
+                pending_pub.append((t, out.packed, depth_dev))
+            return res
         if kind == "lidar":
             pts, reflectivity = payload
             sweep = system.compensator.process(t, pts)
@@ -82,6 +131,11 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
                 break
             system.estimator.process_lps(t_l, p_l, q_l)
         kind, t, payload = msg
+        if kind == "flush":
+            if system.estimator.lidar is not None:
+                system.estimator.lidar._harvest_pack()
+            system.estimator.flush()
+            return msg
         if kind == "imu":
             acc, gyr = payload
             system.estimator.process_imu(t, acc, gyr)
@@ -98,13 +152,27 @@ def build_pipeline(system, deterministic: bool = False) -> Pipeline:
         return None
 
     def mapping(msg):
+        kind = msg[0]
+        if kind == "flush":
+            if system.local_mapper is not None:
+                sm = system.local_mapper.flush()
+                if sm is not None and system.global_mapper is not None:
+                    info = system.global_mapper.add_submap(sm)
+                    lps_ch.put((info["t"], info["p"], info["q"]))
+            return None
         _, _, (sweep, out, reflectivity) = msg
         system._map_lidar(sweep, out, reflectivity, lps_sink=lps_ch.put)
         return None
 
     pipe.add_stage("frontend", frontend, capacity=64)
     pipe.add_stage("estimator", estimator, capacity=256)
-    pipe.add_stage("mapping", mapping, capacity=8)
+    # DROP_OLDEST: when mapping lags it sheds stale sweeps instead of
+    # back-pressuring the estimator — the reference's localMapping does
+    # exactly this with its queue drain (localMapping.cpp:328-332); the
+    # flush sentinel must never be shed, so capacity stays comfortably
+    # above the in-flight sweep count
+    pipe.add_stage("mapping", mapping, capacity=8,
+                   policy=Policy.DROP_OLDEST)
     return pipe
 
 
@@ -129,6 +197,7 @@ def run_threaded(system, messages: Iterable,
                 (fields,) = payload
                 payload = (fields["pts"], fields.get("intensity"))
             pipe.feed((kind, t, payload))
+        pipe.feed(("flush", t0 if t0 is not None else 0.0, ()))
     finally:
         pipe.stop(timeout=120.0)
     for st in pipe.stages:

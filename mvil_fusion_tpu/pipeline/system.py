@@ -105,12 +105,9 @@ class VilSystem:
         self.estimator.process_features(t, ids, norm, vel, depth)
         self._pump_lidar()
 
-    def _feature_depths(self, t, norm, valid):
-        """LiDAR-aided feature depth (the reference's DepthRegister path,
-        feature_tracker_node.cpp:252-337).  Host-side math on the pose the
-        estimator already fetched this frame — no device round-trips."""
-        if not self.depth_register.clouds:
-            return None
+    def _camera_pose_host(self):
+        """T_w_c from the estimator's host pose cache (one-frame-stale by
+        design — a fresh fetch would cost a tunnel round-trip)."""
         est = self.estimator
         cached = getattr(est, "last_pose_host", None)
         if cached is not None:
@@ -126,6 +123,37 @@ class VilSystem:
         q_c = (q_c / np.linalg.norm(q_c)).astype(np.float32)
         p_c = (np.asarray(p_b)
                + _np_quat_to_mat(q_b) @ np.asarray(tic)).astype(np.float32)
+        return p_c, q_c
+
+    def _feature_depths_device(self, t, norm_dev, valid_dev):
+        """Enqueue-only depth lookup on full-capacity DEVICE feature
+        arrays (deferred-readback frontend): returns a device (N,) depth
+        vector or None when no cloud is live."""
+        if not self.depth_register.clouds:
+            return None
+        p_c, q_c = self._camera_pose_host()
+        return self.depth_register.get_depth_device(t, norm_dev, valid_dev,
+                                                    p_c, q_c)
+
+    def flush(self):
+        """Drain every deferred readback (end of stream): estimator pack,
+        lidar sweep pack, local-mapping pack (may emit a final submap)."""
+        if self.estimator.lidar is not None:
+            self.estimator.lidar._harvest_pack()
+        self.estimator.flush()
+        if self.local_mapper is not None:
+            sm = self.local_mapper.flush()
+            if sm is not None and self.global_mapper is not None:
+                info = self.global_mapper.add_submap(sm)
+                self.estimator.process_lps(info["t"], info["p"], info["q"])
+
+    def _feature_depths(self, t, norm, valid):
+        """LiDAR-aided feature depth (the reference's DepthRegister path,
+        feature_tracker_node.cpp:252-337).  Host-side math on the pose the
+        estimator already fetched this frame — no device round-trips."""
+        if not self.depth_register.clouds:
+            return None
+        p_c, q_c = self._camera_pose_host()
         # pad to a STATIC feature capacity: a varying live-feature count
         # would recompile the depth-register program every frame
         n = len(norm)

@@ -45,6 +45,10 @@ def build_parser() -> argparse.ArgumentParser:
     ap.add_argument("--no-mapping", action="store_true",
                     help="VIO+LiDAR odometry only (reference: comment out "
                     "FOR_GLOBAL)")
+    ap.add_argument("--save-map", action="store_true",
+                    help="write the aggregated global map as <out>Map.npz "
+                    "and <out>Map.pcd (the reference's Map.pcd, "
+                    "globalMappingIkdTree.cpp:118-131)")
     ap.add_argument("--threaded", action="store_true",
                     help="run stages concurrently on the async pipeline")
     ap.add_argument("--max-sensor-time", type=float, default=None,
@@ -53,6 +57,19 @@ def build_parser() -> argparse.ArgumentParser:
                     help="force a JAX backend (e.g. cpu); needed because "
                     "this environment's TPU plugin overrides JAX_PLATFORMS")
     return ap
+
+
+def write_pcd(path: str, pts: np.ndarray):
+    """ASCII PCD v0.7 writer (the reference saves Map.pcd via
+    pcl::io::savePCDFile, globalMappingIkdTree.cpp:927-946)."""
+    n = len(pts)
+    with open(path, "w") as f:
+        f.write("# .PCD v0.7 - Point Cloud Data file format\n"
+                "VERSION 0.7\nFIELDS x y z\nSIZE 4 4 4\nTYPE F F F\n"
+                f"COUNT 1 1 1\nWIDTH {n}\nHEIGHT 1\n"
+                f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n")
+        for p in pts:
+            f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
 
 
 def run(args) -> dict:
@@ -102,6 +119,7 @@ def run(args) -> dict:
                 break
 
     wall = time.perf_counter() - wall0
+    system.flush()            # drain deferred readbacks (threaded mode)
     system.save_results(args.out)
 
     result = {
@@ -112,6 +130,15 @@ def run(args) -> dict:
         "backend_poses": len(system.backend_trajectory()),
         "failures": system.estimator.failures,
     }
+    if system.global_mapper is not None:
+        result["mapping"] = system.global_mapper.mapping_stats()
+    if system.estimator.lidar is not None:
+        result["lidar_modes"] = list(system.estimator.lidar.mode_counts)
+    if args.save_map and system.global_mapper is not None:
+        pts = system.global_mapper.global_map()
+        np.savez_compressed(args.out + "Map.npz", points=pts)
+        write_pcd(args.out + "Map.pcd", pts)
+        result["map_points"] = int(len(pts))
     if system.frontend_trajectory():
         span = (system.frontend_trajectory()[-1][0]
                 - system.frontend_trajectory()[0][0])

@@ -111,6 +111,7 @@ def save_system(system, path: str):
             "times": gm.times, "floor_ids": gm.floor_ids,
             "last_odom": gm.last_odom, "loops_closed": gm.loops_closed,
             "loop_pairs": gm.loop_pairs,
+            "map_refreshes": gm.map_refreshes, "evictions": gm.evictions,
             "sc_desc": np.asarray(gm.sc_desc),
             "sc_keys": np.asarray(gm.sc_keys),
             "since_last_close": gm._since_last_close,
@@ -186,6 +187,8 @@ def load_system(system, path: str):
         gm.last_odom = G["last_odom"]
         gm.loops_closed = G["loops_closed"]
         gm.loop_pairs = G["loop_pairs"]
+        gm.map_refreshes = G.get("map_refreshes", 0)
+        gm.evictions = G.get("evictions", 0)
         gm.sc_desc = jnp.asarray(G["sc_desc"])
         gm.sc_keys = jnp.asarray(G["sc_keys"])
         gm._since_last_close = G["since_last_close"]

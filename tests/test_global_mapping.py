@@ -205,3 +205,78 @@ def test_global_mapper_loop_closure(rng):
     mp = gm.global_map()
     assert len(mp) > 1000
     assert np.isfinite(mp).all()
+
+
+def test_pose_graph_cg_matches_dense():
+    """solve_cg (matrix-free block-Jacobi PCG) reaches the same solution as
+    the dense Cholesky solve on the loop graph, including z priors."""
+    g, p_true, n = make_loop_graph()
+    for k in range(0, n, 3):
+        g = g._replace(z_node=g.z_node.at[k // 3].set(k),
+                       z_val=g.z_val.at[k // 3].set(float(p_true[k, 2])),
+                       z_w=g.z_w.at[k // 3].set(1.5),
+                       z_mask=g.z_mask.at[k // 3].set(True))
+    g_dense = pg.solve(g, iters=15)
+    g_cg = pg.solve_cg(g, iters=15, cg_iters=64)
+    err_d = np.linalg.norm(np.asarray(g_dense.p[:n]) - p_true, axis=1)
+    err_c = np.linalg.norm(np.asarray(g_cg.p[:n]) - p_true, axis=1)
+    # both solve the loop; CG tracks dense closely
+    assert err_c.max() < 0.25, err_c.max()
+    np.testing.assert_allclose(np.asarray(g_cg.p[:n]),
+                               np.asarray(g_dense.p[:n]), atol=0.05)
+
+
+def test_pose_graph_cg_at_capacity_512():
+    """The CG solver runs at full reference-scale capacity (512 nodes,
+    2048 edges) — memory linear in caps, no (E,6,6N) intermediate."""
+    rng = np.random.default_rng(5)
+    N, E = 512, 2048
+    g = pg.empty_graph(N, E, 64)
+    # ground truth: a noisy 3-D helix
+    th = np.linspace(0, 8 * np.pi, N)
+    p_true = np.stack([10 * np.cos(th), 10 * np.sin(th),
+                       np.linspace(0, 12, N)], 1).astype(np.float32)
+    q_true = np.tile(np.asarray([1, 0, 0, 0], np.float32), (N, 1))
+    p_est = [p_true[0]]
+    e = 0
+    for k in range(1, N):
+        dp = p_true[k] - p_true[k - 1] + rng.normal(scale=0.03, size=3)
+        p_est.append(p_est[-1] + dp)
+        g = g._replace(e_i=g.e_i.at[e].set(k - 1),
+                       e_j=g.e_j.at[e].set(k),
+                       e_dp=g.e_dp.at[e].set(
+                           jnp.asarray(p_true[k] - p_true[k - 1])),
+                       e_w=g.e_w.at[e].set(10.0),
+                       e_mask=g.e_mask.at[e].set(True))
+        e += 1
+    # dense cross-bracing up to the full edge budget
+    while e < E:
+        i, j = sorted(rng.integers(0, N, 2).tolist())
+        if i == j:
+            continue
+        g = g._replace(e_i=g.e_i.at[e].set(i), e_j=g.e_j.at[e].set(j),
+                       e_dp=g.e_dp.at[e].set(
+                           jnp.asarray(p_true[j] - p_true[i])),
+                       e_w=g.e_w.at[e].set(5.0),
+                       e_mask=g.e_mask.at[e].set(True))
+        e += 1
+    g = g._replace(p=jnp.asarray(np.asarray(p_est)),
+                   node_mask=g.node_mask.at[:].set(True))
+    err_before = np.linalg.norm(np.asarray(g.p) - p_true, axis=1)
+    g2 = pg.solve_cg(g, iters=8, cg_iters=64)
+    err_after = np.linalg.norm(np.asarray(g2.p) - p_true, axis=1)
+    assert err_after.max() < 0.2 * err_before.max(), (
+        err_before.max(), err_after.max())
+
+
+def test_pose_graph_caps_configurable():
+    """pg_n_max/pg_e_max/pg_z_max config fields size the mapper's graph."""
+    from mvil_fusion_tpu.config import GlobalMappingConfig, SystemConfig
+    from mvil_fusion_tpu.mapping.global_mapping import GlobalMapper
+    cfg = SystemConfig(global_mapping=GlobalMappingConfig(
+        pg_n_max=64, pg_e_max=128, pg_z_max=32, check_loop_closure=False))
+    gm = GlobalMapper(cfg)
+    assert gm.graph.p.shape[0] == 64
+    assert gm.graph.e_i.shape[0] == 128
+    assert gm.graph.z_node.shape[0] == 32
+    assert gm.sc_desc.shape[0] == 64

@@ -64,8 +64,19 @@ def test_runner_sync(small_bag, tmp_path):
     bag, gt, cfgp = small_bag
     out = str(tmp_path) + "/sync_"
     result = runner.main(["--bag", bag, "--config", cfgp, "--out", out,
-                          "--golden", gt])
+                          "--golden", gt, "--save-map"])
     _check(result, out)
+    # map artifact (reference Map.pcd, globalMappingIkdTree.cpp:118-131)
+    assert "mapping" in result
+    assert result["mapping"]["nodes"] >= 1
+    assert result["map_points"] > 100
+    m = np.load(out + "Map.npz")["points"]
+    assert m.shape[1] == 3 and len(m) == result["map_points"]
+    assert np.isfinite(m).all()
+    pcd = open(out + "Map.pcd").read().splitlines()
+    assert pcd[1] == "VERSION 0.7"
+    assert int([ln for ln in pcd if ln.startswith("POINTS")][0].split()[1]) \
+        == result["map_points"]
 
 
 def test_runner_threaded(small_bag, tmp_path):
