@@ -110,6 +110,15 @@ class EstimatorConfig:
     focal_length: float = 460.0   # virtual focal for info weighting
     min_parallax: float = 10.0    # keyframe threshold px (/focal at use site)
     max_solver_iters: int = 8     # LM iterations per solve (ref <=30 but 50ms cap)
+    # per-frame solver wall-clock budget (reference: ceres
+    # max_solver_time_in_seconds = 0.05, estimator.cpp:1400-1414).  XLA
+    # programs cannot early-exit on wall clock, so the TPU-idiomatic
+    # equivalent is ADAPTIVE iteration selection: when a solve overruns
+    # the budget the next frame drops to min_solver_iters (a separately
+    # compiled variant), stepping back up after sustained headroom.
+    # <=0 disables adaptation.
+    solver_time_budget_s: float = 0.05
+    min_solver_iters: int = 4
     estimate_extrinsic: int = 1   # 0 fixed / 1 refine / 2 calibrate
     estimate_td: bool = True
     td_init: float = 0.00003

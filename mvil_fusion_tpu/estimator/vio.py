@@ -225,6 +225,17 @@ class VIOEstimator:
         self.defer_readback = False
         self._pending_solve: Optional[tuple] = None
         self._rerooted_pending: set = set()
+        # solver latency budget (reference ceres 0.05 s cap): adaptive
+        # iteration selection between compiled variants.  Enforced only in
+        # REAL-TIME mode (the async pipeline sets enforce_budget=True, as
+        # the reference's cap only matters in its live node) — an offline
+        # CPU replay would otherwise permanently clamp to min iterations
+        # and silently degrade accuracy.
+        self._iters_current = e.max_solver_iters
+        self._headroom = 0
+        self._solves = 0
+        self.budget_overruns = 0
+        self.enforce_budget = False
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
         self.last_pose_host = None   # (p, q, tic, qic) from the last solve
@@ -783,13 +794,16 @@ class VIOEstimator:
             lps_tab = lfac.empty_lps()
 
         prior_valid_host = bool(self._prior_valid)
+        import time as _time
+        t0_solve = _time.perf_counter()
         s_new, prior_new, metrics, cost1, host_pack = _frame_step_jit(
             self.state, feats, jnp.asarray(need_depth),
             accs, gyrs, dts, imu_masks,
             self.prior, self.gravity, self.noise_cov,
             icp_tab, lps_tab, jnp.asarray(zero_vel), self._fix_mask,
-            focal=e.focal_length, iters=e.max_solver_iters,
+            focal=e.focal_length, iters=self._iters_current,
             marg_old=self.marg_old)
+        self._solves += 1
 
         if self.defer_readback:
             # start the background D2H transfer and harvest at the next
@@ -815,6 +829,7 @@ class VIOEstimator:
         # ONE blocking readback per frame (the pack is assembled on device;
         # separate fetches each pay the ~45 ms tunnel round-trip)
         hp = np.asarray(host_pack)
+        self._update_iter_budget(_time.perf_counter() - t0_solve)
         ban, bgn, dp, dz, finite = hp[0:5]
         c_h = hp[5]
         p_h, q_h, v_h = hp[6:9], hp[9:13], hp[13:16]
@@ -850,6 +865,37 @@ class VIOEstimator:
                 self.prior = prior_new
             self._slide(old=False)
 
+    def _update_iter_budget(self, elapsed: float):
+        """Adaptive solver-iteration selection against the wall-clock
+        budget (reference: Ceres max_solver_time_in_seconds=0.05 AND
+        max_num_iterations, estimator.cpp:1400-1414).  A compiled XLA
+        program cannot stop mid-flight, so overruns halve the iteration
+        count for the NEXT frames (a separately compiled variant) and
+        sustained headroom steps back up.  Compile hiccups (>5 s) are
+        ignored; the first frames are warmup."""
+        e = self.cfg.estimator
+        budget = e.solver_time_budget_s
+        self.solve_info["solve_block_s"] = round(elapsed, 4)
+        self.solve_info["solver_iters"] = self._iters_current
+        if (not self.enforce_budget or budget <= 0 or self._solves <= 3
+                or elapsed > 5.0):
+            return
+        if elapsed > budget:
+            self.budget_overruns += 1
+            self.solve_info["budget_overruns"] = self.budget_overruns
+            if self._iters_current > e.min_solver_iters:
+                self._iters_current = max(e.min_solver_iters,
+                                          self._iters_current // 2)
+            self._headroom = 0
+        else:
+            self._headroom += 1
+            if (self._headroom >= 20
+                    and self._iters_current < e.max_solver_iters):
+                self._iters_current = min(e.max_solver_iters,
+                                          self._iters_current * 2)
+                self._headroom = 0
+        self.solve_info["solver_iters"] = self._iters_current
+
     def _harvest_solve(self) -> bool:
         """Deferred-readback harvest: fetch the previous frame's pack
         (already transferred in the background) and apply the host
@@ -863,7 +909,12 @@ class VIOEstimator:
         self._pending_solve = None
         host_pack, t_frame = pend
         e = self.cfg.estimator
+        import time as _time
+        t0 = _time.perf_counter()
         hp = np.asarray(host_pack)
+        # deferred mode: the budget-relevant latency is the time the frame
+        # loop actually WAITED for the pack (≈0 when the solve kept up)
+        self._update_iter_budget(_time.perf_counter() - t0)
         ban, bgn, dp, dz, finite = hp[0:5]
         if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
                 or dp > e.fail_trans_jump or dz > e.fail_z_jump):

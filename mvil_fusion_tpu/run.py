@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "globalMappingIkdTree.cpp:118-131)")
     ap.add_argument("--threaded", action="store_true",
                     help="run stages concurrently on the async pipeline")
+    ap.add_argument("--realtime-budget", action="store_true",
+                    help="enforce the per-frame solver wall-clock budget "
+                    "(adaptive LM iterations; reference ceres 0.05 s cap)")
     ap.add_argument("--max-sensor-time", type=float, default=None,
                     help="stop after this many seconds of sensor data")
     ap.add_argument("--platform", default=None,
@@ -82,6 +85,8 @@ def run(args) -> dict:
            else SystemConfig())
     system = VilSystem(cfg, use_tracker=True,
                        enable_mapping=not args.no_mapping)
+    if getattr(args, "realtime_budget", False):
+        system.estimator.enforce_budget = True
 
     t0 = None
     wall0 = time.perf_counter()
@@ -134,6 +139,11 @@ def run(args) -> dict:
         result["mapping"] = system.global_mapper.mapping_stats()
     if system.estimator.lidar is not None:
         result["lidar_modes"] = list(system.estimator.lidar.mode_counts)
+    result["solver"] = {
+        "iters": system.estimator._iters_current,
+        "budget_overruns": system.estimator.budget_overruns,
+        "budget_enforced": system.estimator.enforce_budget,
+    }
     if args.save_map and system.global_mapper is not None:
         pts = system.global_mapper.global_map()
         np.savez_compressed(args.out + "Map.npz", points=pts)

@@ -174,3 +174,42 @@ def test_lps_factor_pulls_window_rotation():
         return max(np.linalg.norm(np.asarray(lie.quat_boxminus(
             s.q[k], s_true.q[k]))) for k in (3, 4))
     assert rot_err(res.state) <= rot_err(res_no.state) + 1e-4
+
+def test_solver_budget_adapts_iterations():
+    """Overrunning the wall-clock budget halves the LM iteration count for
+    subsequent frames (reference ceres 0.05 s cap, estimator.cpp:1400-1414);
+    sustained headroom steps back up."""
+    from mvil_fusion_tpu.config import EstimatorConfig, SystemConfig
+    from mvil_fusion_tpu.estimator.vio import VIOEstimator
+    import dataclasses
+    cfg = SystemConfig()
+    cfg = cfg.replace(estimator=dataclasses.replace(
+        cfg.estimator, max_solver_iters=8, min_solver_iters=4,
+        solver_time_budget_s=0.05))
+    est = VIOEstimator(cfg)
+    est.enforce_budget = True             # real-time mode
+    est._solves = 10
+    assert est._iters_current == 8
+    est._update_iter_budget(0.2)          # overrun
+    assert est._iters_current == 4
+    assert est.budget_overruns == 1
+    est._update_iter_budget(9.0)          # compile hiccup: ignored
+    assert est.budget_overruns == 1
+    for _ in range(20):                   # sustained headroom: step up
+        est._update_iter_budget(0.01)
+    assert est._iters_current == 8
+    assert est.solve_info["solver_iters"] == 8
+    # budget disabled -> no adaptation
+    cfg2 = cfg.replace(estimator=dataclasses.replace(
+        cfg.estimator, solver_time_budget_s=0.0))
+    est2 = VIOEstimator(cfg2)
+    est2.enforce_budget = True
+    est2._solves = 10
+    est2._update_iter_budget(1.0)
+    assert est2._iters_current == 8 and est2.budget_overruns == 0
+    # offline mode (enforce_budget False): reports but never adapts
+    est3 = VIOEstimator(cfg)
+    est3._solves = 10
+    est3._update_iter_budget(1.0)
+    assert est3._iters_current == 8 and est3.budget_overruns == 0
+    assert est3.solve_info["solve_block_s"] == 1.0
