@@ -259,6 +259,10 @@ class GlobalMappingConfig:
     pg_z_max: Optional[int] = None
     # per-LM-step CG iterations of the matrix-free solve
     pg_cg_iters: int = 64
+    # consecutive-node z change that triggers a graph re-solve (the
+    # reference's ikd-tree rebuild on floor transitions,
+    # globalMappingIkdTree.cpp:290-298)
+    z_refresh_jump: float = 0.5
 
 
 @dataclass(frozen=True)

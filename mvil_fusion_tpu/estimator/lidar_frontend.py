@@ -500,8 +500,16 @@ class LidarFrontend:
 
     def build_constraints(self, window_times: list):
         """Device tables for the window BA (modes 3 → ICP rows; any mode 4
-        in the list → zero-velocity flag)."""
-        self._harvest_pack()   # the newest sweep's record must be in the list
+        in the list → zero-velocity flag).
+
+        In deferred mode the newest sweep's pack is NOT force-harvested
+        here: its record enters the list at the next sweep instead, so the
+        solve never blocks on the in-flight sweep program.  The reference
+        has the same relaxation — its lidar thread classifies constraints
+        concurrently with `process`, and whatever list exists at
+        optimization time is used (estimator_node.cpp:338-376)."""
+        if not self.defer_pack:
+            self._harvest_pack()
         icp = lf.empty_icp()
         ids = np.zeros((lf.MAX_ICP, 4), np.int32)
         a_i = np.zeros(lf.MAX_ICP, np.float32)

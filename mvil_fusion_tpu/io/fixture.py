@@ -124,7 +124,7 @@ def record_fixture_bag(path: str, duration: float = 12.0,
 
 
 def record_hard_fixture_bag(path: str, duration: float = 45.0,
-                            imu_hz: float = 200.0, image_hz: float = 10.0,
+                            imu_hz: float = 200.0, image_hz: float = 12.0,
                             lidar_hz: float = 4.0, n_azimuth: int = 360,
                             seed: int = 0, compression: str = "lz4",
                             gt_path: str | None = None):
@@ -142,10 +142,10 @@ def record_hard_fixture_bag(path: str, duration: float = 45.0,
     rng = np.random.default_rng(seed)
     period = duration / 2.0
     traj = SyntheticTrajectory(duration=duration + 0.5,
-                               p_amp=(4.0, 3.0, 1.1),
+                               p_amp=(3.0, 1.5, 0.9),
                                p_freq=(1.0 / period, 2.0 / period,
                                        1.0 / period),
-                               w_amp=(0.3, 0.25, 0.4),
+                               w_amp=(0.2, 0.15, 0.3),
                                w_freq=(2.0 / period, 1.0 / period,
                                        3.0 / period),
                                lin_vel=(0.0, 0.0, 0.0))

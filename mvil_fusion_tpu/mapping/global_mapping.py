@@ -269,8 +269,13 @@ class GlobalMapper:
             p_new = sm.p_w.astype(np.float32)
             q_new = sm.q_w.astype(np.float32)
         else:
-            # predicted pose: previous corrected node ∘ odometry delta
-            # (host math on the pose mirror — no device round-trips)
+            # predicted pose: previous corrected node ∘ incremental delta.
+            # The delta MUST come from one consistent stream: the local
+            # mapper's refined (map-frame) poses — the reference composes
+            # /local_odom deltas the same way (globalMappingIkdTree.cpp
+            # :179-182).  (Mixing the previous ODOMETRY pose with the
+            # current MAP pose injects the full map-correction translation
+            # into every edge once the VIO drifts.)
             p_prev, q_prev = self._node_pose(i - 1)
             dp, dq = nplie.pose_between(self.last_odom[0], self.last_odom[1],
                                         sm.p_w, sm.q_w)
@@ -305,7 +310,8 @@ class GlobalMapper:
         self.times.append(sm.t)
         fid = self._floor_id(float(p_new[2]))
         self.floor_ids.append(fid)
-        self.last_odom = (sm.odom_p.copy(), sm.odom_q.copy())
+        self.last_odom = (np.asarray(sm.p_w).copy(),
+                          np.asarray(sm.q_w).copy())
         self.n_nodes += 1
         self._since_last_close += 1
 
@@ -351,7 +357,8 @@ class GlobalMapper:
                                           cg_iters=g.pg_cg_iters)
             self._refresh_host_poses()
         elif i > 0 and abs(float(p_new[2])
-                           - float(self.p_host[i - 1, 2])) > 0.5:
+                           - float(self.p_host[i - 1, 2])) \
+                > g.z_refresh_jump:
             # z-jump (floor transition / drift): re-solve so the floor
             # priors engage and subsequent reference maps use corrected
             # poses — the analog of the reference's ikd-tree rebuild from

@@ -61,7 +61,11 @@ def _to_device(tree):
 
 def save_system(system, path: str):
     """Serialize a VilSystem (or bare VIOEstimator) to `path`."""
+    if hasattr(system, "flush"):
+        system.flush()          # drain deferred readbacks before snapshot
     est = system.estimator if hasattr(system, "estimator") else system
+    if hasattr(est, "flush"):
+        est.flush()
     blob = {
         "estimator": {
             "status": est.status,

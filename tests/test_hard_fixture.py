@@ -49,7 +49,8 @@ def hard_cfg():
             skip_recent_poses=8,
             sc_num_exclude_recent=8,
             poses_before_reclosing=6,
-            pg_n_max=28, pg_e_max=256, pg_z_max=64,
+            z_refresh_jump=0.3,
+            pg_n_max=20, pg_e_max=256, pg_z_max=64,
         ))
 
 
