@@ -31,7 +31,8 @@ from mvil_fusion_tpu.pipeline.runner import MultiOut, Pipeline
 
 
 def build_pipeline(system, deterministic: bool = False,
-                   defer_readbacks: bool | None = None) -> Pipeline:
+                   defer_readbacks: bool | None = None,
+                   shed_mapping: bool = True) -> Pipeline:
     """Wire a VilSystem onto a 3-stage pipeline.  Returns the Pipeline;
     feed sensor tuples ('imu'|'image'|'lidar', t, payload) to stage 0.
 
@@ -170,19 +171,23 @@ def build_pipeline(system, deterministic: bool = False,
     # back-pressuring the estimator — the reference's localMapping does
     # exactly this with its queue drain (localMapping.cpp:328-332); the
     # flush sentinel must never be shed, so capacity stays comfortably
-    # above the in-flight sweep count
+    # above the in-flight sweep count.  shed_mapping=False (offline
+    # lossless replay) back-pressures instead so every sweep is mapped.
     pipe.add_stage("mapping", mapping, capacity=8,
-                   policy=Policy.DROP_OLDEST)
+                   policy=Policy.DROP_OLDEST if shed_mapping
+                   else Policy.BLOCK)
     return pipe
 
 
 def run_threaded(system, messages: Iterable,
-                 max_sensor_time: Optional[float] = None) -> dict:
+                 max_sensor_time: Optional[float] = None,
+                 shed_mapping: bool = True) -> dict:
     """Drive a ('kind', t, payload) stream through the threaded pipeline.
 
     Message payloads follow io.rosbag.play: imu → (acc, gyr); image →
     (img,); lidar → (fields-dict,).  Returns message counts."""
-    pipe = build_pipeline(system, deterministic=False)
+    pipe = build_pipeline(system, deterministic=False,
+                          shed_mapping=shed_mapping)
     pipe.start()
     counts = {"imu": 0, "image": 0, "lidar": 0}
     t0 = None

@@ -51,6 +51,9 @@ def build_parser() -> argparse.ArgumentParser:
                     "globalMappingIkdTree.cpp:118-131)")
     ap.add_argument("--threaded", action="store_true",
                     help="run stages concurrently on the async pipeline")
+    ap.add_argument("--lossless", action="store_true",
+                    help="threaded mode: back-pressure instead of shedding "
+                    "stale sweeps when mapping lags (offline replays)")
     ap.add_argument("--realtime-budget", action="store_true",
                     help="enforce the per-frame solver wall-clock budget "
                     "(adaptive LM iterations; reference ceres 0.05 s cap)")
@@ -115,7 +118,8 @@ def run(args) -> dict:
         from mvil_fusion_tpu.pipeline.async_system import run_threaded
         stats = run_threaded(system, rb.play(
             args.bag, args.imu_topic, args.image_topic, args.lidar_topic),
-            max_sensor_time=args.max_sensor_time)
+            max_sensor_time=args.max_sensor_time,
+            shed_mapping=not getattr(args, "lossless", False))
         n_msgs.update(stats)
     else:
         for kind, t, payload in rb.play(args.bag, args.imu_topic,
