@@ -5,6 +5,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 
 from mvil_fusion_tpu.utils import checkpoint, timing
 from mvil_fusion_tpu.estimator.vio import VIOEstimator
@@ -40,6 +41,7 @@ def drive(est, world, cfg, t0, t_end, rng):
     return est
 
 
+@pytest.mark.slow
 def test_checkpoint_resume_continues():
     world = make_world(duration=8.0)
     cfg = make_cfg()

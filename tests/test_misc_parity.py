@@ -5,6 +5,7 @@ import tempfile
 
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from mvil_fusion_tpu.frontend import camera as cam
 from mvil_fusion_tpu.utils import viz
@@ -26,6 +27,7 @@ def test_scaramuzza_roundtrip(rng):
     np.testing.assert_allclose(np.asarray(xy), xy_true, atol=2e-3)
 
 
+@pytest.mark.slow
 def test_predict_latest_tracks_truth():
     world = make_world(duration=6.0)
     cfg = make_cfg()

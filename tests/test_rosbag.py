@@ -6,6 +6,7 @@ import os
 import tempfile
 
 import numpy as np
+import pytest
 
 from mvil_fusion_tpu.io import rosbag as rb
 from mvil_fusion_tpu.io.synthetic import SyntheticTrajectory, SyntheticWorld
@@ -77,6 +78,7 @@ def test_bag_time_ordering_and_topic_filter():
         assert len(msgs) > 100
 
 
+@pytest.mark.slow
 def test_bag_feeds_estimator():
     """bag → play() → VIOEstimator runs and initializes (mono)."""
     from mvil_fusion_tpu.estimator.vio import VIOEstimator

@@ -19,7 +19,11 @@ PROB = make_problem(S_TRUE, FEATS, PREINTS, IMASK)
 FOCAL = 460.0
 
 
-@pytest.mark.parametrize("n_dev", [2, 8])
+@pytest.mark.parametrize("n_dev", [
+    pytest.param(2, marks=pytest.mark.slow),   # n=2 is the
+    # slow-compile variant; n=8 (the dryrun mesh) stays fast
+    8,
+])
 def test_sharded_matches_unsharded(n_dev):
     assert len(jax.devices()) >= n_dev
     m = mesh_lib.make_mesh(n_dev)

@@ -104,6 +104,7 @@ def align_umeyama_4dof(est_traj, gt):
     return float(np.sqrt((err ** 2).mean())), err
 
 
+@pytest.mark.slow
 def test_vio_e2e_initializes_and_tracks():
     world = make_world(duration=8.0)
     cfg = make_cfg()
