@@ -89,7 +89,7 @@ def test_td_estimated_online():
 
 
 def test_failure_injection_reboots_and_recovers():
-    world = make_world(duration=8.0)
+    world = make_world(duration=10.0)
     cfg = make_td_cfg(True)
     est, gt = run_with_td(world, cfg, 0.0, t_end=2.5)
     assert est.status == VIOEstimator.NON_LINEAR
@@ -105,10 +105,13 @@ def test_failure_injection_reboots_and_recovers():
     tic = np.zeros(3)
     prev_norm = {}
     prev_t = None
-    for k, t in enumerate(np.arange(2.5, 4.6, 0.1)):
+    # strong enough that the gate trips well inside the window (at 15 m/s²
+    # the trip point sat at the last frames — flaky against the chaotic
+    # pipeline's run-to-run numeric noise)
+    for k, t in enumerate(np.arange(2.5, 5.1, 0.1)):
         acc, gyr, dts, ts = traj.imu_sequence(t - 0.1 + 1e-9, t, 200.0)
         for i in range(len(ts)):
-            est.process_imu(ts[i], acc[i] + np.asarray([15.0, -12.0, 10.0]),
+            est.process_imu(ts[i], acc[i] + np.asarray([22.0, -18.0, 15.0]),
                             gyr[i])
         uv, norm, z, vis = world.project(t, ric, tic)
         ids = np.nonzero(vis)[0][:150]
@@ -122,7 +125,11 @@ def test_failure_injection_reboots_and_recovers():
     prev_t = None
     ric = np.eye(3)
     tic = np.zeros(3)
-    for t in np.arange(4.6, 7.1, 0.1):
+    # generous clean-data window: the reboot can fire a SECOND time while
+    # corrupt intervals are still inside the window, and re-initialization
+    # needs the window to refill (~1.5 s) after that — both timings move
+    # with run-to-run numeric noise
+    for t in np.arange(5.1, 9.3, 0.1):
         acc, gyr, dts, ts = traj.imu_sequence(t - 0.1 + 1e-9, t, 200.0)
         for i in range(len(ts)):
             est.process_imu(ts[i], acc[i], gyr[i])
