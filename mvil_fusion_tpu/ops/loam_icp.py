@@ -24,9 +24,22 @@ from mvil_fusion_tpu.utils import lie
 from mvil_fusion_tpu.utils.precision import full_precision
 
 
+import os
+
+# Fused Pallas k-NN (ops/pallas_knn.py): streams the reference through
+# VMEM and never materializes the (Nq,Nr) distance matrix — at reference
+# scale the XLA path below writes+reads a 512 MB intermediate through
+# HBM.  Opt-in until profiled on hardware (validated in interpreter mode
+# by tests/test_pallas_knn.py).
+_USE_PALLAS_KNN = os.environ.get("MVIL_PALLAS_KNN", "") == "1"
+
+
 def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
         k: int):
     """Brute-force k-NN: (Nq,3) vs (Nr,3) → (idx (Nq,k), d2 (Nq,k))."""
+    if _USE_PALLAS_KNN:
+        from mvil_fusion_tpu.ops.pallas_knn import knn_topk
+        return knn_topk(query, ref, ref_mask, k)
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)       # (Nq,1)
     r2 = jnp.sum(ref * ref, axis=-1)                          # (Nr,)
     d2 = q2 + r2[None, :] - 2.0 * (query @ ref.T)
