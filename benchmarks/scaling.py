@@ -105,6 +105,43 @@ def bench_sharded_vgicp(n_dev: int, n_pts: int, repeat: int) -> float:
     return (time.perf_counter() - t0) / repeat
 
 
+def bench_sharded_loam(n_dev: int, n_surf: int, repeat: int) -> float:
+    """Query-sharded LOAM scan-to-map at dryrun scale (the engine's
+    biggest matmul: queries x map association)."""
+    from mvil_fusion_tpu.parallel import mesh as mesh_lib, sharded_loam
+    from mvil_fusion_tpu.utils import lie
+
+    rng = np.random.default_rng(0)
+    n_c, m_c, m_s = n_surf // 2, 8192, 16384
+    n_lines = m_c // 16
+    xy = rng.uniform(-8, 8, (n_lines, 2)).astype(np.float32)
+    z = np.linspace(-2.0, 2.0, 16, dtype=np.float32)
+    cmap = np.column_stack([np.repeat(xy[:, 0], 16),
+                            np.repeat(xy[:, 1], 16),
+                            np.tile(z, n_lines)]).astype(np.float32)
+    smap = rng.uniform(-8, 8, (m_s, 3)).astype(np.float32)
+    smap[:, 2] = np.round(smap[:, 2] / 2.0) * 2.0 \
+        + 0.01 * rng.standard_normal(m_s).astype(np.float32)
+    corner = cmap[rng.integers(0, m_c, n_c)] + [0.06, -0.04, 0.02]
+    surf = smap[rng.integers(0, m_s, n_surf)] + [0.06, -0.04, 0.02]
+
+    m = mesh_lib.make_mesh(n_dev)
+    s2m = sharded_loam.make_sharded_scan_to_map(m, outer_iters=2,
+                                                gn_iters=4)
+    c_sh, cm_sh, s_sh, sm_sh = sharded_loam.shard_features(
+        m, jnp.asarray(corner), jnp.ones(n_c, bool),
+        jnp.asarray(surf), jnp.ones(n_surf, bool))
+    args = (c_sh, cm_sh, s_sh, sm_sh, jnp.asarray(cmap),
+            jnp.ones(m_c, bool), jnp.asarray(smap), jnp.ones(m_s, bool),
+            jnp.zeros(3), lie.quat_identity())
+    jax.block_until_ready(s2m(*args))
+    t0 = time.perf_counter()
+    for _ in range(repeat):
+        out = s2m(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / repeat
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--devices", type=int, nargs="+", default=[1, 2, 4, 8])
@@ -120,7 +157,9 @@ def main():
             ("sharded_ba", lambda n: bench_sharded_ba(
                 n, args.features, args.repeat), args.features, "landmarks"),
             ("sharded_vgicp", lambda n: bench_sharded_vgicp(
-                n, args.points, args.repeat), args.points, "points")):
+                n, args.points, args.repeat), args.points, "points"),
+            ("sharded_loam_s2m", lambda n: bench_sharded_loam(
+                n, 2048, args.repeat), 2048, "queries")):
         t1 = None
         for n in args.devices:
             if n > len(jax.devices()):
@@ -173,6 +212,9 @@ def main():
         f"((D,D)+(D,) with D={D}) | O(F/n) landmark Schur blocks |",
         f"| sharded_vgicp | {vg_bytes} B ((6,6)+(6,)) | O(P/n) "
         "Mahalanobis residuals + 3x3 solves |",
+        f"| sharded_loam_s2m | {vg_bytes} B ((6,6)+(6,)) per GN iter | "
+        "O(Q/n) query x map association (the (10^3 x 10^4) distance "
+        "matmul) + line/plane fits |",
         "",
         "All heavy per-landmark / per-point work is shard-local; the "
         "collective payload is constant in problem size and device count. "
