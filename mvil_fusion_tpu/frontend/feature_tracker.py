@@ -51,18 +51,29 @@ class _StepOut(NamedTuple):
     next_id: jnp.ndarray     # () int32
     packed: jnp.ndarray      # (N,9) f32 [u v nx ny vx vy id valid cnt]
     pyr_flat: tuple
+    key: jnp.ndarray         # PRNG chain (device-owned)
 
 
 @partial(jax.jit, static_argnames=("cfg_key",))
 def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, ids,
-                 next_id, dt, key, do_track, cfg_key):
+                 next_id, scalars, key, cfg_key):
     """Whole per-image device program. cfg_key: static (camera+tracker cfg).
 
-    Owns id assignment and velocity so steady-state tracking needs ZERO
-    blocking host readbacks; the tunnel round-trip (~45 ms) is paid only
-    when a frame is published, via the single `packed` fetch."""
+    Owns id assignment, velocity AND the PRNG key chain so steady-state
+    tracking needs ZERO blocking host readbacks and exactly ONE small H2D
+    per image (`scalars` = [dt, do_track, do_detect] — each separate
+    device_put costs a full tunnel round-trip).
+
+    RANSAC + mask suppression + corner refill run only when do_detect
+    (= this frame publishes): the reference does all of rejectWithF /
+    setMask / goodFeaturesToTrack under PUB_THIS_FRAME
+    (feature_tracker.cpp:107-167), and they are ~60% of the device time."""
     cfg, camera = _CFG_CACHE[cfg_key]
     tk = cfg.tracker
+    dt = scalars[0]
+    do_track = scalars[1] > 0.5
+    do_detect = scalars[2] > 0.5
+    key, sub = jax.random.split(key)
 
     img = jnp.asarray(img, jnp.float32)
     if tk.equalize:
@@ -80,58 +91,66 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, ids,
 
     pts1, ok = jax.lax.cond(do_track, tracked, untracked)
     track_cnt1 = jnp.where(ok, track_cnt + 1, 0)
-
-    # --- fundamental RANSAC cull (on virtual-focal plane) ---------------
-    norm0 = prev_norm
-    norm1 = camera.lift_projective(pts1)
-    vf = 460.0
-    x1 = norm0 * vf
-    x2 = norm1 * vf
-    enough = jnp.sum(ok) >= 12
-
-    def with_ransac():
-        res = ransac.fundamental_ransac(key, x1, x2, ok,
-                                        threshold=tk.f_threshold,
-                                        n_hyp=tk.ransac_iters)
-        return ok & res.inliers
-
-    ok2 = jax.lax.cond(enough & do_track, with_ransac, lambda: ok)
-
-    # --- setMask: track-count-ranked min-dist suppression ----------------
-    # (reference feature_tracker.cpp:36-69 — features are visited longest
-    # track first; any later feature within min_dist of a kept one is
-    # dropped, so under churn the stable tracks win the spatial budget.)
-    # Computed as a PARALLEL fixed point instead of a 256-step sequential
-    # scan (which costs ~1 ms/step in dispatch on TPU): kept[i] iff no
-    # higher-priority KEPT feature lies within min_dist; iterating from
-    # all-in converges to the exact greedy solution level-by-level
-    # (suppression chains deeper than the iteration count are vanishingly
-    # rare at 30 px spacing).
     N = pts.shape[0]
-    min_d2 = jnp.asarray(float(tk.min_dist) ** 2, jnp.float32)
-    pri = jnp.where(ok2, track_cnt1 * N - jnp.arange(N), -1)
-    d2m = jnp.sum((pts1[:, None, :] - pts1[None, :, :]) ** 2, axis=-1)
-    sup = (d2m < min_d2) & (pri[None, :] > pri[:, None]) & ok2[None, :]
-    kept = ok2
-    for _ in range(6):
-        kept = ok2 & jnp.logical_not(jnp.any(sup & kept[None, :], axis=1))
-    ok2 = ok2 & kept
 
-    # --- refill with new corners ---------------------------------------
-    n_missing = tk.max_cnt - jnp.sum(ok2)
-    det = corners.detect(img, pts1, ok2, max_new=tk.max_cnt,
-                         min_dist=tk.min_dist)
-    want_new = det.ok & (jnp.arange(det.pts.shape[0]) < n_missing)
-    # assign new corners to empty slots: rank empty slots and new corners
-    slot_rank = jnp.cumsum(~ok2) - 1          # index among empty slots
-    corner_rank = jnp.cumsum(want_new) - 1    # index among accepted corners
-    # scatter: corner j -> the (corner_rank[j])-th empty slot
-    empty_slots = jnp.nonzero(~ok2, size=N, fill_value=N)[0]
-    target = jnp.where(want_new, empty_slots[jnp.minimum(corner_rank,
-                                                         N - 1)],
-                       N)  # index N = dropped (out-of-bounds, mode='drop')
-    pts2 = pts1.at[target].set(det.pts, mode="drop")
-    new_mask = jnp.zeros((N,), bool).at[target].set(True, mode="drop")
+    def detect_branch():
+        # --- fundamental RANSAC cull (on virtual-focal plane) -----------
+        norm0 = prev_norm
+        norm1 = camera.lift_projective(pts1)
+        vf = 460.0
+        x1 = norm0 * vf
+        x2 = norm1 * vf
+        enough = jnp.sum(ok) >= 12
+
+        def with_ransac():
+            res = ransac.fundamental_ransac(sub, x1, x2, ok,
+                                            threshold=tk.f_threshold,
+                                            n_hyp=tk.ransac_iters)
+            return ok & res.inliers
+
+        ok2 = jax.lax.cond(enough & do_track, with_ransac, lambda: ok)
+
+        # --- setMask: track-count-ranked min-dist suppression ------------
+        # (reference feature_tracker.cpp:36-69 — features are visited
+        # longest track first; any later feature within min_dist of a kept
+        # one is dropped, so under churn the stable tracks win the spatial
+        # budget.)  Computed as a PARALLEL fixed point instead of a
+        # 256-step sequential scan (which costs ~1 ms/step in dispatch on
+        # TPU): kept[i] iff no higher-priority KEPT feature lies within
+        # min_dist; iterating from all-in converges to the exact greedy
+        # solution level-by-level (suppression chains deeper than the
+        # iteration count are vanishingly rare at 30 px spacing).
+        min_d2 = jnp.asarray(float(tk.min_dist) ** 2, jnp.float32)
+        pri = jnp.where(ok2, track_cnt1 * N - jnp.arange(N), -1)
+        d2m = jnp.sum((pts1[:, None, :] - pts1[None, :, :]) ** 2, axis=-1)
+        sup = (d2m < min_d2) & (pri[None, :] > pri[:, None]) & ok2[None, :]
+        kept = ok2
+        for _ in range(6):
+            kept = ok2 & jnp.logical_not(jnp.any(sup & kept[None, :],
+                                                 axis=1))
+        ok2 = ok2 & kept
+
+        # --- refill with new corners -------------------------------------
+        n_missing = tk.max_cnt - jnp.sum(ok2)
+        det = corners.detect(img, pts1, ok2, max_new=tk.max_cnt,
+                             min_dist=tk.min_dist)
+        want_new = det.ok & (jnp.arange(det.pts.shape[0]) < n_missing)
+        # assign new corners to empty slots: rank empty slots and corners
+        corner_rank = jnp.cumsum(want_new) - 1  # index among accepted
+        # scatter: corner j -> the (corner_rank[j])-th empty slot
+        empty_slots = jnp.nonzero(~ok2, size=N, fill_value=N)[0]
+        target = jnp.where(want_new, empty_slots[jnp.minimum(corner_rank,
+                                                             N - 1)],
+                           N)  # index N = dropped (out-of-bounds, 'drop')
+        pts2 = pts1.at[target].set(det.pts, mode="drop")
+        new_mask = jnp.zeros((N,), bool).at[target].set(True, mode="drop")
+        return pts2, ok2, new_mask
+
+    def track_only_branch():
+        return pts1, ok, jnp.zeros((N,), bool)
+
+    pts2, ok2, new_mask = jax.lax.cond(do_detect, detect_branch,
+                                       track_only_branch)
     valid2 = ok2 | new_mask
     track_cnt2 = jnp.where(new_mask, 1, track_cnt1)
 
@@ -159,7 +178,7 @@ def _process_jit(img, prev_pyr, pts, valid, track_cnt, prev_norm, ids,
         track_cnt2[:, None].astype(jnp.float32)], axis=1)
     return _StepOut(pts=pts2, valid=valid2, track_cnt=track_cnt2,
                     norm=norm2, ids=ids2, next_id=next_id2,
-                    packed=packed, pyr_flat=pyr)
+                    packed=packed, pyr_flat=pyr, key=key)
 
 
 _CFG_CACHE: dict = {}
@@ -249,12 +268,16 @@ class FeatureTracker:
         else:
             prev_pyr = self.prev_pyr
 
-        self._key, sub = jax.random.split(self._key)
+        # publish decision is pure host state (freq gate on t) — made
+        # BEFORE dispatch so RANSAC/mask/refill only run on publish frames
+        # (the reference's PUB_THIS_FRAME gating)
+        publish = self._should_publish(t)
         dt = (t - self.prev_t) if self.prev_t is not None else 0.0
+        scalars = np.asarray([dt, float(do_track), float(publish)],
+                             np.float32)
         out = _process_jit(img, prev_pyr, self.pts, self.valid,
                            self.track_cnt, self.norm, self.ids,
-                           self.next_id, jnp.asarray(dt, jnp.float32), sub,
-                           jnp.asarray(do_track), self._cfg_key)
+                           self.next_id, scalars, self._key, self._cfg_key)
 
         # all state stays device-resident — no blocking fetch here
         self.pts = out.pts
@@ -265,8 +288,9 @@ class FeatureTracker:
         self.next_id = out.next_id
         self.prev_pyr = out.pyr_flat
         self.prev_t = t
+        self._key = out.key
 
-        if not self._should_publish(t):
+        if not publish:
             return False, out
         self.pub_count += 1
         return True, out

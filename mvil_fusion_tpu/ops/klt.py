@@ -3,15 +3,30 @@
 Replaces cv::calcOpticalFlowPyrLK (21x21 window, 3 pyramid levels) of the
 reference front end (reference: feature_tracker_/src/feature_tracker.cpp:113).
 
-TPU-first: the per-feature iteration is a `lax.scan` with static trip count,
-all features tracked in one `vmap` (one fused kernel per pyramid level).
-Patch sampling is bilinear gather; the spatial-gradient matrix G is built
-once per level per feature (inverse-compositional style on the template).
+TPU-first, round-4 rework: the original implementation sampled every window
+pixel with a pointwise 2D gather (`img[y0, x0]`), which XLA:TPU executes on
+the scalar path — ~200 ms per image, the single largest device cost of the
+whole system.  The rework keeps the identical inverse-compositional LK math
+but restructures all memory access into forms the TPU executes at full
+vector/MXU rate:
+
+  1. per-feature patch EXTRACTION: one row-take (contiguous rows) plus one
+     in-row take_along_axis — measured 0.09 ms for 256x(44x44) patches
+     (vs 4 ms via one-hot matmul, 35 ms via pointwise gather);
+  2. bilinear sampling at a regular grid = two small "tent-matrix"
+     matmuls per feature: bilinear interpolation is separable, so
+     sampling window rows/cols at fractional offsets is exactly
+     `T_y @ patch @ T_x^T` with tent weights max(0, 1-|col-center|);
+  3. gradients via a dense Scharr stencil on the extracted patches.
+
+The iterate lives in patch coordinates; a `margin` ring around the window
+absorbs per-level displacement (the pyramid absorbs large motion).  Samples
+clamp at patch edges (border-replicate), matching the old border-clamp
+behavior; diverged tracks are culled by the step/err/in-bounds checks.
 """
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple
 
 import jax
@@ -26,56 +41,111 @@ class KLTResult(NamedTuple):
     err: jnp.ndarray      # (N,) mean abs residual of the final window
 
 
-def _patch_offsets(win: int, dtype=jnp.float32):
-    r = (win - 1) / 2.0
-    o = jnp.arange(win, dtype=dtype) - r
-    oy, ox = jnp.meshgrid(o, o, indexing="ij")
-    return jnp.stack([ox.reshape(-1), oy.reshape(-1)], axis=-1)  # (win²,2)
+def _tent(centers: jnp.ndarray, size: int) -> jnp.ndarray:
+    """Separable bilinear sampling matrix.
+
+    centers: (..., Q) continuous source positions; returns (..., Q, size)
+    weights max(0, 1-|col-center|) — each row holds the two bilinear taps.
+    Positions are clamped to [0, size-1] (border replicate)."""
+    c = jnp.clip(centers, 0.0, size - 1.0)
+    cols = jnp.arange(size, dtype=centers.dtype)
+    return jnp.maximum(0.0, 1.0 - jnp.abs(cols - c[..., None]))
 
 
-def _track_level(img0, img1, pts0_lvl, guess, win, iters, min_eig_thr):
+def _extract(img: jnp.ndarray, bx: jnp.ndarray, by: jnp.ndarray,
+             S: int) -> jnp.ndarray:
+    """(N,S,S) integer-aligned patches at (bx, by) corners.
+
+    Row-take + in-row take: both are contiguous/axis-aligned gathers that
+    the TPU executes at memory speed (a pointwise 2D gather does not)."""
+    N = bx.shape[0]
+    rows = jnp.take(img, by[:, None] + jnp.arange(S), axis=0,
+                    mode="clip")                                # (N,S,W)
+    cols = (bx[:, None] + jnp.arange(S))[:, None, :]            # (N,1,S)
+    cols = jnp.broadcast_to(cols, (N, S, S))
+    return jnp.take_along_axis(rows, cols, axis=2, mode="clip")
+
+
+def _scharr_patch(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Dense 3x3 Scharr gradients on (N,S,S) patches (edge-replicated)."""
+    S = p.shape[-1]
+    pp = jnp.pad(p, ((0, 0), (1, 1), (1, 1)), mode="edge")
+    w = (3.0 / 32.0, 10.0 / 32.0, 3.0 / 32.0)
+    gx = sum(w[dy] * (pp[:, dy:dy + S, 2:2 + S] - pp[:, dy:dy + S, 0:S])
+             for dy in range(3))
+    gy = sum(w[dx] * (pp[:, 2:2 + S, dx:dx + S] - pp[:, 0:S, dx:dx + S])
+             for dx in range(3))
+    return gx, gy
+
+
+def _track_level(img0, img1, pts0_lvl, guess, win, iters, min_eig_thr,
+                 margin: int = 8):
     """One pyramid level of LK for all features.
 
     pts0_lvl: (N,2) template positions at this level.
     guess: (N,2) current displacement estimate (this level's scale).
     Returns (new displacement, ok, err).
     """
-    offs = _patch_offsets(win, img0.dtype)            # (P,2)
-    gx, gy = im.scharr_gradients(img0)
+    H, W = img0.shape
+    dtype = img0.dtype
+    r = (win - 1) / 2.0
+    S = win + 2 * margin + 2
+    win_off = jnp.arange(win, dtype=dtype)
 
-    def per_feature(p0, d0):
-        pos0 = p0[None, :] + offs                      # (P,2)
-        t = im.bilinear_sample(img0, pos0)             # template patch
-        ix = im.bilinear_sample(gx, pos0)
-        iy = im.bilinear_sample(gy, pos0)
-        gxx = jnp.sum(ix * ix)
-        gxy = jnp.sum(ix * iy)
-        gyy = jnp.sum(iy * iy)
-        det = gxx * gyy - gxy * gxy
-        tr = gxx + gyy
-        min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
-        P = offs.shape[0]
-        good_g = min_eig / P > min_eig_thr
-        inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+    def base_of(p):
+        b = jnp.floor(p - r - margin)
+        return jnp.clip(b, 0.0, jnp.asarray([max(W - S, 0), max(H - S, 0)],
+                                            dtype))
 
-        def body(d, _):
-            pos1 = p0[None, :] + d[None, :] + offs
-            j = im.bilinear_sample(img1, pos1)
-            di = j - t
-            b0 = jnp.sum(di * ix)
-            b1 = jnp.sum(di * iy)
-            dx = inv_det * (gyy * b0 - gxy * b1)
-            dy = inv_det * (gxx * b1 - gxy * b0)
-            step = jnp.stack([dx, dy])
-            return d - step, jnp.linalg.norm(step)
+    b0 = base_of(pts0_lvl)
+    b1 = base_of(pts0_lvl + guess)
+    p0 = _extract(img0, b0[:, 0].astype(jnp.int32),
+                  b0[:, 1].astype(jnp.int32), S)
+    p1 = _extract(img1, b1[:, 0].astype(jnp.int32),
+                  b1[:, 1].astype(jnp.int32), S)
+    gx, gy = _scharr_patch(p0)
 
-        d, steps = jax.lax.scan(body, d0, None, length=iters)
-        pos1 = p0[None, :] + d[None, :] + offs
-        err = jnp.mean(jnp.abs(im.bilinear_sample(img1, pos1) - t))
-        ok = good_g & (steps[-1] < 1.0)
-        return d, ok, err
+    def window_mats(p_center, base):
+        """Tent matrices sampling the win x win grid centered at p_center
+        (image coords) out of the patch extracted at `base`."""
+        cy = (p_center[:, 1] - r)[:, None] + win_off[None, :] - base[:, 1:2]
+        cx = (p_center[:, 0] - r)[:, None] + win_off[None, :] - base[:, 0:1]
+        return _tent(cy, S), _tent(cx, S)
 
-    return jax.vmap(per_feature)(pts0_lvl, guess)
+    # template + gradient windows (sampled once, 3 channels in one einsum)
+    Ty0, Tx0 = window_mats(pts0_lvl, b0)
+    chan = jnp.stack([p0, gx, gy], axis=1)                      # (N,3,S,S)
+    tpl = jnp.einsum("nys,ncst,nxt->ncyx", Ty0, chan, Tx0)
+    t, ix, iy = tpl[:, 0], tpl[:, 1], tpl[:, 2]
+
+    gxx = jnp.sum(ix * ix, (1, 2))
+    gxy = jnp.sum(ix * iy, (1, 2))
+    gyy = jnp.sum(iy * iy, (1, 2))
+    det = gxx * gyy - gxy * gxy
+    tr = gxx + gyy
+    min_eig = (tr - jnp.sqrt(jnp.maximum(tr * tr - 4 * det, 0.0))) / 2.0
+    P = float(win * win)
+    good_g = min_eig / P > min_eig_thr
+    inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
+
+    def sample1(d):
+        Ty, Tx = window_mats(pts0_lvl + d, b1)
+        return jnp.einsum("nys,nst,nxt->nyx", Ty, p1, Tx)
+
+    def body(d, _):
+        j = sample1(d)
+        di = j - t
+        b0_ = jnp.sum(di * ix, (1, 2))
+        b1_ = jnp.sum(di * iy, (1, 2))
+        dx = inv_det * (gyy * b0_ - gxy * b1_)
+        dy = inv_det * (gxx * b1_ - gxy * b0_)
+        step = jnp.stack([dx, dy], axis=-1)
+        return d - step, jnp.linalg.norm(step, axis=-1)
+
+    d, steps = jax.lax.scan(body, guess, None, length=iters)
+    err = jnp.mean(jnp.abs(sample1(d) - t), (1, 2))
+    ok = good_g & (steps[-1] < 1.0)
+    return d, ok, err
 
 
 def track(pyr0, pyr1, pts0: jnp.ndarray, valid: jnp.ndarray,
