@@ -63,7 +63,9 @@ def main():
     pipe.start()
     try:
         feed_all(warm)
-        assert pipe.quiesce(timeout=900.0)
+        if not pipe.quiesce(timeout=900.0):
+            raise RuntimeError("warmup did not quiesce within 900 s — "
+                               "timing numbers would be bogus")
         print(f"warm done; frames={len(system.frontend_trajectory())}",
               file=sys.stderr, flush=True)
         time.sleep(15.0)
@@ -71,7 +73,11 @@ def main():
             per.clear()
         t0 = time.perf_counter()
         feed_all(meas)
-        assert pipe.quiesce(timeout=900.0)
+        # flush sentinel: harvest the deferred tail so the last frame/pack
+        # is included in the per-kind stats (run_threaded does the same)
+        pipe.feed(("flush", meas[-1][1] if meas else 0.0, ()))
+        if not pipe.quiesce(timeout=900.0):
+            raise RuntimeError("measurement did not quiesce within 900 s")
         wall = time.perf_counter() - t0
     finally:
         pipe.stop(timeout=120.0)
@@ -79,8 +85,10 @@ def main():
         if st.errors:
             raise RuntimeError(st.errors[0])
 
-    print(f"\ntimed: {meas_s:.1f} sensor-s in {wall:.1f} wall-s "
-          f"({meas_s / wall:.3f} sensor-sec/s)\n")
+    # actual measured sensor span (matches bench.py's official metric)
+    span = (meas[-1][1] - meas[0][1]) if len(meas) >= 2 else meas_s
+    print(f"\ntimed: {span:.1f} sensor-s in {wall:.1f} wall-s "
+          f"({span / wall:.3f} sensor-sec/s)\n")
     print(f"{'stage':<10} {'kind':<10} {'n':>5} {'total s':>8} "
           f"{'ms/evt':>8} {'s per sensor-s':>14}")
     for name, per in stats.items():

@@ -376,6 +376,8 @@ class LinearAlign(NamedTuple):
     g_c0: jnp.ndarray     # gravity in c0
     scale: jnp.ndarray    # () global scale
     cost: float
+    scale_sigma: float = float("inf")   # 1-sigma scale uncertainty from
+    #                                     the normal matrix (observability)
 
 
 @full_precision
@@ -465,7 +467,24 @@ def linear_alignment(p_c0_c: jnp.ndarray, q_c0_b: jnp.ndarray,
     cost = float(0.5 * jnp.sum(resid * resid))
     g_final = g / jnp.maximum(jnp.linalg.norm(g), 1e-9) * g_norm
     ok = bool(s > 0.0) and np.isfinite(cost)
-    return LinearAlign(ok=ok, vel=vel, g_c0=g_final, scale=s, cost=cost)
+    # scale observability: 1-sigma of s from the normal matrix.  Short or
+    # weakly-excited windows leave a near-null direction mixing (s, g, v)
+    # — the fit then looks perfect (tiny cost) at a scale tens of percent
+    # off (measured: s=0.059 and the true 0.088 both fit one 0.65 s
+    # fixture window to the same residual), which seeds the filter with a
+    # wrong metric scale and forces a long, bias-absorbing correction
+    # transient.  Callers gate initialization on scale_sigma/scale.
+    m, n2_ = A2.shape
+    dof = max(m - n2_, 1)
+    sigma2 = 2.0 * cost / dof
+    try:
+        N = np.asarray(A2.T @ A2, np.float64)
+        cov_ss = float(np.linalg.inv(N)[-1, -1])
+        scale_sigma = float(np.sqrt(max(sigma2 * cov_ss, 0.0)))
+    except np.linalg.LinAlgError:
+        scale_sigma = float("inf")
+    return LinearAlign(ok=ok, vel=vel, g_c0=g_final, scale=s, cost=cost,
+                       scale_sigma=scale_sigma)
 
 
 # ---------------------------------------------------------------------------

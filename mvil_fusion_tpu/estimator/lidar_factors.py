@@ -106,7 +106,13 @@ def icp_system(s: st.WindowState, c: IcpConstraints):
         Sg = jnp.concatenate([_one_hot6(ids[k], D, dtype)
                               for k in range(4)], axis=0)  # (24,D)
         Jg = J @ Sg
-        m = act.astype(dtype)
+        # Cauchy IRLS weight — the reference adds these blocks with the
+        # problem-wide robust loss (estimator.cpp:1129, :1395), which caps
+        # a disagreeing ICP measurement's influence.  c = 2.3849 (the 95%%-
+        # efficiency tuning the reference carries at estimator.cpp:1130).
+        c2 = 2.3849 ** 2
+        w_rob = jnp.sqrt(1.0 / (1.0 + jnp.sum(r * r) / c2))
+        m = act.astype(dtype) * w_rob
         return Jg * m, r * m
 
     Jg, r = jax.vmap(one)(c.ids, c.alpha_i, c.alpha_j, c.trans_p,
@@ -137,7 +143,14 @@ def lps_system(s: st.WindowState, c: LpsConstraints,
         cols_l = _one_hot6(l, D, dtype)[3:6]       # rotation cols of l
         cols_r = _one_hot6(r_, D, dtype)[3:6]
         Jg = J[:, 0:3] @ cols_l + J[:, 3:6] @ cols_r
-        m = act.astype(dtype)
+        # Cauchy IRLS weight (reference estimator.cpp:1129,:1322 adds the
+        # LPS block under the robust loss): at sigma=0.01 a few-degree
+        # orientation disagreement is a |r|~5-10 row — unrobustified it
+        # drags the whole window and leaks into the accel bias (|ba| 0.5 →
+        # 1.6-3.5 m/s² observed).  c = 2.3849 as above.
+        c2 = 2.3849 ** 2
+        w_rob = jnp.sqrt(1.0 / (1.0 + jnp.sum(r * r) / c2))
+        m = act.astype(dtype) * w_rob
         return Jg * m, r * m
 
     Jg, r = jax.vmap(one)(c.ids, c.alpha, c.q_meas, c.active)

@@ -510,13 +510,26 @@ class LidarFrontend:
         optimization time is used (estimator_node.cpp:338-376)."""
         if not self.defer_pack:
             self._harvest_pack()
-        icp = lf.empty_icp()
         ids = np.zeros((lf.MAX_ICP, 4), np.int32)
         a_i = np.zeros(lf.MAX_ICP, np.float32)
         a_j = np.zeros(lf.MAX_ICP, np.float32)
         tp = np.zeros((lf.MAX_ICP, 3), np.float32)
         w = np.zeros(lf.MAX_ICP, np.float32)
         act = np.zeros(lf.MAX_ICP, bool)
+        zero_vel = self.fill_constraint_tables(window_times, ids, a_i, a_j,
+                                               tp, w, act)
+        icp = lf.empty_icp()._replace(
+            ids=jnp.asarray(ids), alpha_i=jnp.asarray(a_i),
+            alpha_j=jnp.asarray(a_j), trans_p=jnp.asarray(tp),
+            weight=jnp.asarray(w), active=jnp.asarray(act))
+        return icp, zero_vel
+
+    def fill_constraint_tables(self, window_times: list, ids, a_i, a_j,
+                               tp, w, act) -> bool:
+        """Write the 4-pose ICP constraint rows into the given arrays
+        (host views of the frame pack).  Returns the zero-velocity flag.
+        NOTE: does NOT harvest the in-flight sweep pack — the packed solve
+        path harvests via build-time policy exactly as build_constraints."""
         zero_vel = False
         tmap = {round(t, 6): i for i, t in enumerate(window_times)}
         for k, rec in enumerate(self.constraints[-lf.MAX_ICP:]):
@@ -535,7 +548,4 @@ class LidarFrontend:
             tp[k] = rec.trans_p
             w[k] = rec.weight
             act[k] = True
-        icp = icp._replace(ids=jnp.asarray(ids), alpha_i=jnp.asarray(a_i),
-                           alpha_j=jnp.asarray(a_j), trans_p=jnp.asarray(tp),
-                           weight=jnp.asarray(w), active=jnp.asarray(act))
-        return icp, zero_vel
+        return zero_vel

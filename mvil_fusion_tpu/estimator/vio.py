@@ -26,7 +26,7 @@ from mvil_fusion_tpu.estimator import ba, factors as fac, initialization as vini
 from mvil_fusion_tpu.estimator import lidar_factors as lfac
 from mvil_fusion_tpu.estimator import state as st
 from mvil_fusion_tpu.ops import preintegration as pre, triangulate as tri
-from mvil_fusion_tpu.utils import lie
+from mvil_fusion_tpu.utils import hostpack, lie
 
 IMU_NMAX = 256          # default per-interval raw-sample capacity
 # (VIOEstimator sizes its own buffers from ImuConfig.max_imu_per_frame and
@@ -42,10 +42,9 @@ _merge_inv_jit = jax.jit(lambda cur, v, m: jnp.where(m, v, cur))
 from functools import partial as _partial
 
 
-@_partial(jax.jit, static_argnames=("focal", "iters", "marg_old"))
-def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
-                    prior, gravity, noise_cov, icp_tab, lps_tab, zero_vel,
-                    fix_mask, focal, iters, marg_old):
+def _frame_step_body(state, feats, need_depth, accs, gyrs, dts, imu_masks,
+                     prior, gravity, noise_cov, icp_tab, lps_tab, zero_vel,
+                     fix_mask, focal, iters, marg_old):
     """The WHOLE per-frame device program, fused into one XLA executable:
     preintegration → triangulation of new landmarks → extras → window BA →
     failure metrics → marginalization.  One dispatch, one readback — the
@@ -69,7 +68,7 @@ def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
         gravity=gravity, anchor_ref=state, extra_J=eJ, extra_r=er,
         extra_x0=state, fix_mask=fix_mask)
     res = ba.solve(state, prob, focal, iters=iters)
-    s_new = res.state
+    s_new = _gauge_fix(state, res.state)
 
     prev_p = state.p[-1]
     metrics = jnp.stack([
@@ -94,6 +93,67 @@ def _frame_step_jit(state, feats, need_depth, accs, gyrs, dts, imu_masks,
         s_new.tic, s_new.qic, s_new.td[None], s_new.bg[-1],
         s_new.inv_depth])
     return s_new, prior_new, metrics, res.cost1, host_pack
+
+
+_frame_step_jit = _partial(jax.jit,
+                           static_argnames=("focal", "iters", "marg_old"))(
+    _frame_step_body)
+
+
+@_partial(jax.jit, static_argnames=("layout", "focal", "iters", "marg_old"))
+def _frame_step_packed(state, prior, gravity, noise_cov, fix_mask,
+                       f32, i32, b8, layout, focal, iters, marg_old):
+    """Packed-argument frame step: the ~25 per-frame host tables (feature
+    observations, IMU buffers, ICP/LPS constraint tables, depth seeds)
+    arrive as THREE flat buffers (one per dtype class) and are unpacked
+    with free slices here — each separate host→device transfer costs a
+    tunnel latency floor (PERF.md §1), so the old one-array-per-table
+    calling convention dominated the whole feature-event budget."""
+    u = hostpack.unpack(layout, f32, i32, b8)
+    state = state._replace(inv_depth=jnp.where(u["ov_mask"], u["ov_val"],
+                                               state.inv_depth))
+    feats = st.Features(start=u["start"], obs=u["obs"], vel=u["vel"],
+                        td_ref=u["td_ref"], mask=u["mask"],
+                        depth_fixed=u["depth_fixed"], valid=u["valid"])
+    icp_tab = lfac.IcpConstraints(
+        ids=u["icp_ids"], alpha_i=u["icp_ai"], alpha_j=u["icp_aj"],
+        trans_p=u["icp_tp"], weight=u["icp_w"], active=u["icp_act"])
+    lps_tab = lfac.LpsConstraints(
+        ids=u["lps_ids"], alpha=u["lps_alpha"], q_meas=u["lps_qm"],
+        active=u["lps_act"])
+    return _frame_step_body(
+        state, feats, u["need_depth"], u["accs"], u["gyrs"], u["dts"],
+        u["imu_masks"], prior, gravity, noise_cov, icp_tab, lps_tab,
+        u["zero_vel"][0], fix_mask, focal, iters, marg_old)
+
+
+def _gauge_fix(s_old, s_new):
+    """4-dof gauge re-anchor after every solve (the reference's
+    double2vector, estimator.cpp:960-1074): rotate/translate the whole
+    window so frame 0 keeps its pre-solve yaw and position.  Yaw and
+    global translation are exact null directions of the visual-inertial
+    cost (gravity [0,0,g] is yaw-invariant), so without this the gauge
+    random-walks ~0.5°/solve — measured 14-26° of yaw drift over a 6 s
+    fixture run, which then fights the mapping feedback and leaks
+    g·sin(drift) into the accelerometer bias."""
+    R_old0 = lie.quat_to_mat(s_old.q[0])
+    R_new0 = lie.quat_to_mat(s_new.q[0])
+    ypr_old = lie.mat_to_ypr(R_old0)
+    ypr_new = lie.mat_to_ypr(R_new0)
+    y_diff = ypr_old[0] - ypr_new[0]
+    zero = jnp.zeros((), s_new.p.dtype)
+    R_yaw = lie.ypr_to_mat(jnp.stack([y_diff, zero, zero]))
+    # pitch-singularity fallback (reference: "euler singular point!")
+    lim = jnp.deg2rad(89.0)
+    singular = (jnp.abs(ypr_old[1]) > lim) | (jnp.abs(ypr_new[1]) > lim)
+    R_diff = jnp.where(singular, R_old0 @ R_new0.T, R_yaw)
+    q_diff = lie.mat_to_quat(R_diff)
+    p = jnp.einsum("ij,wj->wi", R_diff,
+                   s_new.p - s_new.p[0:1]) + s_old.p[0:1]
+    v = jnp.einsum("ij,wj->wi", R_diff, s_new.v)
+    q = jax.vmap(lambda qq: lie.quat_normalize(
+        lie.quat_mul(q_diff, qq)))(s_new.q)
+    return s_new._replace(p=p, q=q, v=v)
 
 
 def _extras_body(s, icp_tab, lps_tab, zero_vel):
@@ -227,15 +287,45 @@ class VIOEstimator:
         self._rerooted_pending: set = set()
         # solver latency budget (reference ceres 0.05 s cap): adaptive
         # iteration selection between compiled variants.  Enforced only in
-        # REAL-TIME mode (the async pipeline sets enforce_budget=True, as
-        # the reference's cap only matters in its live node) — an offline
-        # CPU replay would otherwise permanently clamp to min iterations
-        # and silently degrade accuracy.
+        # REAL-TIME mode — bench.py and run.py --realtime-budget set
+        # enforce_budget=True (the reference's cap only matters in its
+        # live node); an offline CPU replay would otherwise permanently
+        # clamp to min iterations and silently degrade accuracy.
         self._iters_current = e.max_solver_iters
         self._headroom = 0
         self._solves = 0
         self.budget_overruns = 0
         self.enforce_budget = False
+        # one reusable host->device pack for the per-frame tables (3
+        # transfers per solve instead of ~25 — see utils/hostpack.py)
+        NM, MI, ML = self.imu_nmax, lfac.MAX_ICP, lfac.MAX_LPS
+        self._hp = hostpack.HostPack([
+            ("obs", (F, W, 2), np.float32),
+            ("vel", (F, W, 2), np.float32),
+            ("td_ref", (F, W), np.float32),
+            ("ov_val", (F,), np.float32),
+            ("accs", (W - 1, NM, 3), np.float32),
+            ("gyrs", (W - 1, NM, 3), np.float32),
+            ("dts", (W - 1, NM), np.float32),
+            ("icp_ai", (MI,), np.float32),
+            ("icp_aj", (MI,), np.float32),
+            ("icp_tp", (MI, 3), np.float32),
+            ("icp_w", (MI,), np.float32),
+            ("lps_alpha", (ML,), np.float32),
+            ("lps_qm", (ML, 4), np.float32),
+            ("start", (F,), np.int32),
+            ("icp_ids", (MI, 4), np.int32),
+            ("lps_ids", (ML, 2), np.int32),
+            ("mask", (F, W), np.bool_),
+            ("depth_fixed", (F,), np.bool_),
+            ("valid", (F,), np.bool_),
+            ("need_depth", (F,), np.bool_),
+            ("ov_mask", (F,), np.bool_),
+            ("imu_masks", (W - 1, NM), np.bool_),
+            ("icp_act", (MI,), np.bool_),
+            ("lps_act", (ML,), np.bool_),
+            ("zero_vel", (1,), np.bool_),
+        ])
         # trajectory log (world frame) — the engine's Frontend.txt
         self.trajectory: list[tuple] = []
         self.last_pose_host = None   # (p, q, tic, qic) from the last solve
@@ -245,6 +335,8 @@ class VIOEstimator:
         # LiDAR coupling (created lazily to keep mono-VIO light)
         self.lidar = None
         self.lps_list: list[tuple] = []   # (t, p_w, q_w) localizer feedback
+        self._lps_fresh = False   # reference LPS_call: arm LPS rows for
+        #                           exactly ONE solve per new message
 
     # ------------------------------------------------------------- LiDAR
 
@@ -280,14 +372,26 @@ class VIOEstimator:
         self.lps_list.append((t, p_b.astype(np.float32), q_b))
         while len(self.lps_list) > lfac.MAX_LPS:
             self.lps_list.pop(0)
+        self._lps_fresh = True
 
-    def _build_lps_table(self) -> lfac.LpsConstraints:
-        tab = lfac.empty_lps()
-        ids = np.zeros((lfac.MAX_LPS, 2), np.int32)
-        alpha = np.zeros(lfac.MAX_LPS, np.float32)
-        qm = np.tile(np.asarray([1, 0, 0, 0], np.float32),
-                     (lfac.MAX_LPS, 1))
-        act = np.zeros(lfac.MAX_LPS, bool)
+    def _fill_lps_tables(self, ids, alpha, qm, act):
+        """Write the LPS rotation-constraint table into the given arrays.
+        qm rows default to identity (inactive rows must stay normalizable).
+
+        Reference-faithful arming: the rows are only armed on the solve
+        immediately following a NEW localizer message (the reference's
+        `if (LPS_call)` gate, estimator.cpp:1287-1326, reset after one
+        optimization), and lps_system applies the reference's Cauchy loss.
+        Round-3 armed the list on EVERY solve without robustification;
+        that continuously pins the window orientation against the (slowly
+        drifting) map frame and the solver pays the g·sin(drift) residual
+        out of the accelerometer bias — measured |ba| 0.5 → 1.6-3.5 m/s²
+        on the fixture, tripping failureDetection."""
+        qm[:, 0] = 1.0
+        qm[:, 1:] = 0.0
+        if not self._lps_fresh:
+            return
+        self._lps_fresh = False
         times = self.times[:self.W]
         for k, (t, p_b, q_b) in enumerate(self.lps_list[-lfac.MAX_LPS:]):
             for i in range(len(times) - 1):
@@ -299,6 +403,14 @@ class VIOEstimator:
                         qm[k] = q_b
                         act[k] = True
                     break
+
+    def _build_lps_table(self) -> lfac.LpsConstraints:
+        tab = lfac.empty_lps()
+        ids = np.zeros((lfac.MAX_LPS, 2), np.int32)
+        alpha = np.zeros(lfac.MAX_LPS, np.float32)
+        qm = np.zeros((lfac.MAX_LPS, 4), np.float32)
+        act = np.zeros(lfac.MAX_LPS, bool)
+        self._fill_lps_tables(ids, alpha, qm, act)
         return tab._replace(ids=jnp.asarray(ids), alpha=jnp.asarray(alpha),
                             q_meas=jnp.asarray(qm), active=jnp.asarray(act))
 
@@ -467,16 +579,12 @@ class VIOEstimator:
 
     # ------------------------------------------------------- device tables
 
-    def _imu_buffers(self):
-        """Padded per-interval raw IMU buffers as device arrays.
+    def _fill_imu_tables(self, accs, gyrs, dts, masks):
+        """Write padded per-interval raw IMU buffers into the given arrays.
 
         Intervals longer than the static capacity are decimated (evenly
         spaced samples, total dt preserved) rather than truncated."""
         W, NM = self.W, self.imu_nmax
-        accs = np.zeros((W - 1, NM, 3), np.float32)
-        gyrs = np.zeros((W - 1, NM, 3), np.float32)
-        dts = np.zeros((W - 1, NM), np.float32)
-        masks = np.zeros((W - 1, NM), bool)
         for kk in range(min(W - 1, len(self.intervals))):
             iv = self.intervals[kk]
             if len(iv.acc) > NM:
@@ -490,6 +598,16 @@ class VIOEstimator:
             gyrs[kk, :n] = np.asarray(iv.gyr)
             dts[kk, :n - 1] = np.diff(np.asarray(iv.t))
             masks[kk, :n] = True
+
+    def _imu_buffers(self):
+        """Padded per-interval raw IMU buffers as device arrays
+        (initialization path; the steady-state solve uses the pack)."""
+        W, NM = self.W, self.imu_nmax
+        accs = np.zeros((W - 1, NM, 3), np.float32)
+        gyrs = np.zeros((W - 1, NM, 3), np.float32)
+        dts = np.zeros((W - 1, NM), np.float32)
+        masks = np.zeros((W - 1, NM), bool)
+        self._fill_imu_tables(accs, gyrs, dts, masks)
         return (jnp.asarray(accs), jnp.asarray(gyrs), jnp.asarray(dts),
                 jnp.asarray(masks))
 
@@ -524,20 +642,11 @@ class VIOEstimator:
             self.slots[s] = fid
             tr.slot = s
 
-    def _build_features(self) -> st.Features:
-        W, F = self.W, self.F
-        start = np.zeros(F, np.int32)
-        obs = np.zeros((F, W, 2), np.float32)
-        vel = np.zeros((F, W, 2), np.float32)
-        td_ref = np.zeros((F, W), np.float32)
-        mask = np.zeros((F, W), bool)
-        fixed = np.zeros(F, bool)
-        valid = np.zeros(F, bool)
-        # host-known depth seeds merge into the device vector with a tiny
-        # jitted where() — fetching state.inv_depth here would cost a
-        # tunnel round-trip per frame
-        ov_val = np.zeros(F, np.float32)
-        ov_mask = np.zeros(F, bool)
+    def _fill_feature_tables(self, start, obs, vel, td_ref, mask, fixed,
+                             valid, ov_val, ov_mask, need_depth=None):
+        """Write the per-slot feature tables into the given arrays (host
+        views of the frame pack, or scratch arrays for the init path)."""
+        W = self.W
         for s, fid in enumerate(self.slots):
             if fid is None:
                 continue
@@ -554,6 +663,27 @@ class VIOEstimator:
             if tr.inv_depth > 0:
                 ov_val[s] = tr.inv_depth
                 ov_mask[s] = True
+            if need_depth is not None:
+                need_depth[s] = tr.inv_depth <= 0 and not tr.depth_fixed
+
+    def _build_features(self) -> st.Features:
+        """Standalone feature-table build (initialization path; the
+        steady-state solve ships the same tables inside the frame pack)."""
+        W, F = self.W, self.F
+        start = np.zeros(F, np.int32)
+        obs = np.zeros((F, W, 2), np.float32)
+        vel = np.zeros((F, W, 2), np.float32)
+        td_ref = np.zeros((F, W), np.float32)
+        mask = np.zeros((F, W), bool)
+        fixed = np.zeros(F, bool)
+        valid = np.zeros(F, bool)
+        # host-known depth seeds merge into the device vector with a tiny
+        # jitted where() — fetching state.inv_depth here would cost a
+        # tunnel round-trip per frame
+        ov_val = np.zeros(F, np.float32)
+        ov_mask = np.zeros(F, bool)
+        self._fill_feature_tables(start, obs, vel, td_ref, mask, fixed,
+                                  valid, ov_val, ov_mask)
         self.state = self.state._replace(inv_depth=_merge_inv_jit(
             self.state.inv_depth, jnp.asarray(ov_val),
             jnp.asarray(ov_mask)))
@@ -622,9 +752,14 @@ class VIOEstimator:
                     obs[s, k] = o.norm
                     mask[s, k] = True
 
-        # find reference frame l with enough parallax vs the newest frame
-        l = None
-        rel = None
+        # candidate reference frames l with enough parallax vs the newest
+        # frame (reference relativePose, estimator.cpp:873-901 takes the
+        # FIRST; here EVERY viable candidate is scored by the stage-A
+        # rotation-consistency cost below and the best wins — the greedy
+        # first-l choice is fragile: an anchor whose SfM is geometrically
+        # poor can pass every downstream gate yet seed a solve with 10x
+        # the steady-state cost, and the failure detector then reboots)
+        cands = []
         for cand in range(W - 1):
             sel = mask[:, cand] & mask[:, W - 1]
             if sel.sum() < 20:
@@ -638,22 +773,13 @@ class VIOEstimator:
                 sub, jnp.asarray(obs[:, cand]), jnp.asarray(obs[:, W - 1]),
                 jnp.asarray(sel))
             if bool(r.ok):
-                l = cand
-                rel = r
-                break
-        if l is None:
+                cands.append((cand, r))
+        if not cands:
             return False
-
-        sfm = vinit.global_sfm(obs, mask, l, np.asarray(rel.R),
-                               np.asarray(rel.t))
-        if not sfm.ok:
-            return False
-        p_c0_c = jnp.asarray(sfm.p_c0_c)
-        q_c0_c = jnp.asarray(sfm.q_c0_c)
 
         preints, imask = self._preintegrate_all()
 
-        # stage A: gyro bias (+ optional RIC/td refinement)
+        # stage A per candidate: gyro bias (+ optional RIC/td refinement)
         gyr_first = np.zeros((W - 1, 3), np.float32)
         gyr_last = np.zeros((W - 1, 3), np.float32)
         for kk in range(W - 1):
@@ -661,11 +787,29 @@ class VIOEstimator:
             if iv.gyr:
                 gyr_first[kk] = iv.gyr[0]
                 gyr_last[kk] = iv.gyr[-1]
-        stage_a = vinit.estimate_ric_td_bg(
-            q_c0_c, preints, jnp.asarray(gyr_first), jnp.asarray(gyr_last),
-            self.state.qic, fix_ric=(e.estimate_extrinsic == 0))
-        if not stage_a.ok:
+
+        best = None      # (cost, l, sfm, stage_a)
+        for cand, r in cands:
+            sfm_c = vinit.global_sfm(obs, mask, cand, np.asarray(r.R),
+                                     np.asarray(r.t))
+            if not sfm_c.ok:
+                continue
+            sa = vinit.estimate_ric_td_bg(
+                jnp.asarray(sfm_c.q_c0_c), preints,
+                jnp.asarray(gyr_first), jnp.asarray(gyr_last),
+                self.state.qic, fix_ric=(e.estimate_extrinsic == 0))
+            if not sa.ok:
+                continue
+            c = float(sa.cost)
+            if best is None or c < best[0]:
+                best = (c, cand, sfm_c, sa)
+            if c < 1e-8:
+                break    # essentially exact — no need to try further l
+        if best is None:
             return False
+        _, l, sfm, stage_a = best
+        p_c0_c = jnp.asarray(sfm.p_c0_c)
+        q_c0_c = jnp.asarray(sfm.q_c0_c)
         q_ric = stage_a.q_ric
 
         # The (bgs, td) solution is only consistent PER INTERVAL — the
@@ -700,6 +844,20 @@ class VIOEstimator:
         e_cfg = self.cfg.estimator
         lin = vinit.linear_alignment(p_c0_c, q_c0_b, preints,
                                      self.cfg.imu.g_norm, self.state.tic)
+        # scale-observability gate: if the alignment cannot DETERMINE the
+        # metric scale from this window (1-sigma > 25% of the estimate),
+        # defer initialization — keyframe selection stretches the window
+        # span every frame, so a later window resolves it.  A confidently
+        # wrong scale here costs far more than a late start: the window BA
+        # must then bend the trajectory onto the IMU's metric frame and
+        # parks ~g·sin(tilt) in the accel bias until the bad frames
+        # marginalize out (measured |ba| up to 2.5-3.5 m/s², tripping the
+        # reference's failureDetection thresholds).
+        self.solve_info["init_scale_sigma"] = (
+            round(lin.scale_sigma / max(float(lin.scale), 1e-9), 4))
+        if (not np.isfinite(lin.scale_sigma)
+                or lin.scale_sigma > 0.25 * max(float(lin.scale), 1e-9)):
+            return False
         seed = dict(vel0=lin.vel, g0=lin.g_c0, scale0=lin.scale) \
             if (lin.ok and float(lin.scale) > 1e-3) else {}
         stage_b = vinit.estimate_vel_g_s_tic(
@@ -778,29 +936,32 @@ class VIOEstimator:
         if self.defer_readback and not self._harvest_solve():
             return      # deferred failure detected -> rebooted, skip frame
         self._assign_slots()
-        feats = self._build_features()
-        need_depth = np.asarray([
-            (self.slots[s] is not None
-             and self.tracks[self.slots[s]].inv_depth <= 0
-             and not self.tracks[self.slots[s]].depth_fixed)
-            for s in range(self.F)])
-
-        accs, gyrs, dts, imu_masks = self._imu_buffers()
+        hp = self._hp
+        hp.zero()
+        self._fill_feature_tables(
+            hp["start"], hp["obs"], hp["vel"], hp["td_ref"], hp["mask"],
+            hp["depth_fixed"], hp["valid"], hp["ov_val"], hp["ov_mask"],
+            need_depth=hp["need_depth"])
+        self._fill_imu_tables(hp["accs"], hp["gyrs"], hp["dts"],
+                              hp["imu_masks"])
         if self.lidar is not None:
-            icp_tab, zero_vel = self.lidar.build_constraints(self.times[:W])
-            lps_tab = self._build_lps_table()
+            if not self.lidar.defer_pack:
+                self.lidar._harvest_pack()
+            hp["zero_vel"][0] = self.lidar.fill_constraint_tables(
+                self.times[:W], hp["icp_ids"], hp["icp_ai"], hp["icp_aj"],
+                hp["icp_tp"], hp["icp_w"], hp["icp_act"])
+            self._fill_lps_tables(hp["lps_ids"], hp["lps_alpha"],
+                                  hp["lps_qm"], hp["lps_act"])
         else:
-            icp_tab, zero_vel = lfac.empty_icp(), False
-            lps_tab = lfac.empty_lps()
+            hp["lps_qm"][:, 0] = 1.0
 
         prior_valid_host = bool(self._prior_valid)
         import time as _time
         t0_solve = _time.perf_counter()
-        s_new, prior_new, metrics, cost1, host_pack = _frame_step_jit(
-            self.state, feats, jnp.asarray(need_depth),
-            accs, gyrs, dts, imu_masks,
-            self.prior, self.gravity, self.noise_cov,
-            icp_tab, lps_tab, jnp.asarray(zero_vel), self._fix_mask,
+        f32, i32, b8 = hp.buffers()
+        s_new, prior_new, metrics, cost1, host_pack = _frame_step_packed(
+            self.state, self.prior, self.gravity, self.noise_cov,
+            self._fix_mask, f32, i32, b8, layout=hp.layout,
             focal=e.focal_length, iters=self._iters_current,
             marg_old=self.marg_old)
         self._solves += 1
@@ -831,6 +992,8 @@ class VIOEstimator:
         hp = np.asarray(host_pack)
         self._update_iter_budget(_time.perf_counter() - t0_solve)
         ban, bgn, dp, dz, finite = hp[0:5]
+        self.solve_info["ban"] = float(ban)
+        self.solve_info["bgn"] = float(bgn)
         c_h = hp[5]
         p_h, q_h, v_h = hp[6:9], hp[9:13], hp[13:16]
         tic_h, qic_h, td_h = hp[16:19], hp[19:23], float(hp[23])
@@ -838,6 +1001,9 @@ class VIOEstimator:
         inv_h = hp[27:]
         if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
                 or dp > e.fail_trans_jump or dz > e.fail_z_jump):
+            self.solve_info["failure"] = dict(
+                t=self.times[-1], ban=float(ban), bgn=float(bgn),
+                dp=float(dp), dz=float(dz), finite=float(finite))
             self._reboot()
             return
 
@@ -896,6 +1062,27 @@ class VIOEstimator:
                 self._headroom = 0
         self.solve_info["solver_iters"] = self._iters_current
 
+    def precompile_iter_variants(self):
+        """Force-compile every solver-iteration variant the adaptive budget
+        can select (each `iters` is a static argument → its own XLA
+        executable).  Run from the bench's throwaway precompile subprocess
+        so the measuring process never cache-misses mid-run when the
+        budget halves the iteration count."""
+        e = self.cfg.estimator
+        variants = {e.max_solver_iters}
+        it = e.max_solver_iters
+        while it > e.min_solver_iters:
+            it = max(e.min_solver_iters, it // 2)
+            variants.add(it)
+        f32, i32, b8 = self._hp.buffers()
+        for it in sorted(variants):
+            for marg_old in (True, False):
+                out = _frame_step_packed(
+                    self.state, self.prior, self.gravity, self.noise_cov,
+                    self._fix_mask, f32, i32, b8, layout=self._hp.layout,
+                    focal=e.focal_length, iters=it, marg_old=marg_old)
+                jax.block_until_ready(out[4])
+
     def _harvest_solve(self) -> bool:
         """Deferred-readback harvest: fetch the previous frame's pack
         (already transferred in the background) and apply the host
@@ -918,6 +1105,9 @@ class VIOEstimator:
         ban, bgn, dp, dz, finite = hp[0:5]
         if (finite < 0.5 or ban > e.fail_ba_norm or bgn > e.fail_bg_norm
                 or dp > e.fail_trans_jump or dz > e.fail_z_jump):
+            self.solve_info["failure"] = dict(
+                t=t_frame, ban=float(ban), bgn=float(bgn),
+                dp=float(dp), dz=float(dz), finite=float(finite))
             self._reboot()
             return False
         c_h = hp[5]

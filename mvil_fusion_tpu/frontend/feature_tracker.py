@@ -268,13 +268,19 @@ class FeatureTracker:
         else:
             prev_pyr = self.prev_pyr
 
-        # publish decision is pure host state (freq gate on t) — made
-        # BEFORE dispatch so RANSAC/mask/refill only run on publish frames
-        # (the reference's PUB_THIS_FRAME gating)
+        # publish decision is pure host state (freq gate on t), made
+        # BEFORE dispatch.  do_detect stays 1.0 on EVERY frame — unlike the
+        # reference's PUB_THIS_FRAME gating (feature_tracker.cpp:107-167):
+        # gating RANSAC to publish frames leaves unculled raw steps where a
+        # track can latch onto a different surface and then look epipolar-
+        # consistent forever after; the resulting smooth-but-wrong tracks
+        # measurably corrupt SfM initialization (stage-A rotation cost
+        # 5e-10 → 3e-3 on the fixture).  The full detect branch costs
+        # <1 ms/frame with the take/tent-matrix kernels, so the reference's
+        # rate optimization buys nothing here.
         publish = self._should_publish(t)
         dt = (t - self.prev_t) if self.prev_t is not None else 0.0
-        scalars = np.asarray([dt, float(do_track), float(publish)],
-                             np.float32)
+        scalars = np.asarray([dt, float(do_track), 1.0], np.float32)
         out = _process_jit(img, prev_pyr, self.pts, self.valid,
                            self.track_cnt, self.norm, self.ids,
                            self.next_id, scalars, self._key, self._cfg_key)

@@ -79,12 +79,18 @@ def _scharr_patch(p: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
 
 
 def _track_level(img0, img1, pts0_lvl, guess, win, iters, min_eig_thr,
-                 margin: int = 8):
+                 margin: int = 10):
     """One pyramid level of LK for all features.
 
     pts0_lvl: (N,2) template positions at this level.
     guess: (N,2) current displacement estimate (this level's scale).
     Returns (new displacement, ok, err).
+
+    The target patch is RE-EXTRACTED (re-centered on the current iterate)
+    between iteration halves, so the capture range per level is ~2*margin
+    instead of margin — the old global-gather sampler had unlimited range,
+    and fast motion at the coarsest level otherwise clamps at the patch
+    edge and converges to a wrong fixed point.
     """
     H, W = img0.shape
     dtype = img0.dtype
@@ -98,11 +104,8 @@ def _track_level(img0, img1, pts0_lvl, guess, win, iters, min_eig_thr,
                                             dtype))
 
     b0 = base_of(pts0_lvl)
-    b1 = base_of(pts0_lvl + guess)
     p0 = _extract(img0, b0[:, 0].astype(jnp.int32),
                   b0[:, 1].astype(jnp.int32), S)
-    p1 = _extract(img1, b1[:, 0].astype(jnp.int32),
-                  b1[:, 1].astype(jnp.int32), S)
     gx, gy = _scharr_patch(p0)
 
     def window_mats(p_center, base):
@@ -128,22 +131,34 @@ def _track_level(img0, img1, pts0_lvl, guess, win, iters, min_eig_thr,
     good_g = min_eig / P > min_eig_thr
     inv_det = jnp.where(jnp.abs(det) < 1e-12, 0.0, 1.0 / det)
 
-    def sample1(d):
+    def sample1(p1, b1, d):
         Ty, Tx = window_mats(pts0_lvl + d, b1)
         return jnp.einsum("nys,nst,nxt->nyx", Ty, p1, Tx)
 
-    def body(d, _):
-        j = sample1(d)
-        di = j - t
-        b0_ = jnp.sum(di * ix, (1, 2))
-        b1_ = jnp.sum(di * iy, (1, 2))
-        dx = inv_det * (gyy * b0_ - gxy * b1_)
-        dy = inv_det * (gxx * b1_ - gxy * b0_)
-        step = jnp.stack([dx, dy], axis=-1)
-        return d - step, jnp.linalg.norm(step, axis=-1)
+    def run_half(d, n_it):
+        """(Re-)extract the target patch centered on the current iterate,
+        then n_it LK iterations against it."""
+        b1 = base_of(pts0_lvl + d)
+        p1 = _extract(img1, b1[:, 0].astype(jnp.int32),
+                      b1[:, 1].astype(jnp.int32), S)
 
-    d, steps = jax.lax.scan(body, guess, None, length=iters)
-    err = jnp.mean(jnp.abs(sample1(d) - t), (1, 2))
+        def body(dd, _):
+            j = sample1(p1, b1, dd)
+            di = j - t
+            b0_ = jnp.sum(di * ix, (1, 2))
+            b1_ = jnp.sum(di * iy, (1, 2))
+            dx = inv_det * (gyy * b0_ - gxy * b1_)
+            dy = inv_det * (gxx * b1_ - gxy * b0_)
+            step = jnp.stack([dx, dy], axis=-1)
+            return dd - step, jnp.linalg.norm(step, axis=-1)
+
+        d, steps = jax.lax.scan(body, d, None, length=n_it)
+        return d, steps, p1, b1
+
+    half = max(iters // 2, 1)
+    d, _, _, _ = run_half(guess, half)
+    d, steps, p1, b1 = run_half(d, max(iters - half, 1))
+    err = jnp.mean(jnp.abs(sample1(p1, b1, d) - t), (1, 2))
     ok = good_g & (steps[-1] < 1.0)
     return d, ok, err
 

@@ -139,6 +139,9 @@ def run(args) -> dict:
         "backend_poses": len(system.backend_trajectory()),
         "failures": system.estimator.failures,
     }
+    if system.estimator.solve_info.get("failure"):
+        # metrics of the last failureDetection trip (observability)
+        result["last_failure"] = system.estimator.solve_info["failure"]
     if system.global_mapper is not None:
         result["mapping"] = system.global_mapper.mapping_stats()
     if system.estimator.lidar is not None:
