@@ -96,7 +96,7 @@ def main():
             if n == 0:
                 continue
             print(f"{name:<10} {kind:<10} {n:>5} {s:>8.2f} "
-                  f"{1e3 * s / n:>8.1f} {s / meas_s:>14.2f}")
+                  f"{1e3 * s / n:>8.1f} {s / span:>14.2f}")
 
 
 if __name__ == "__main__":

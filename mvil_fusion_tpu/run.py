@@ -172,11 +172,7 @@ def run(args) -> dict:
             pe = np.asarray([np.asarray(r[1]) for r in rows])
             result[f"ate_{name}_m"] = round(
                 ev.ate_rmse(te, pe, tg, pg, mode="4dof"), 4)
-        if len(system.frontend_trajectory()) >= 3:
-            te = np.asarray([r[0] for r in system.frontend_trajectory()])
-            pe = np.asarray([np.asarray(r[1])
-                             for r in system.frontend_trajectory()])
-            result["rpe_frontend_m_per_s"] = round(
+            result[f"rpe_{name}_m_per_s"] = round(
                 ev.rpe_rmse(te, pe, tg, pg, delta=1.0), 4)
     return result
 
