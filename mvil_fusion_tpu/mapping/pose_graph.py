@@ -170,7 +170,15 @@ def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
     solve is `cg_iters` sparse matvecs preconditioned by the inverted
     per-node 6×6 diagonal blocks.  Replaces iSAM2 at scale (reference
     globalMappingIkdTree.cpp:111-114) the TPU way: fixed-shape scan
-    loops, no factorization state."""
+    loops, no factorization state.
+
+    The edge↔node incidence is applied as ONE-HOT MATMULS (Si, Sj of
+    shape (E,N), built once per solve), not gather/scatter: each CG
+    matvec needs two node-gathers and two segment-sum scatters, and at
+    20 LM × 64 CG iterations the scalar-path gather/scatter form cost
+    157 ms per solve on v5e — the one-hot contractions run on the MXU
+    (exact under the solver-wide HIGHEST matmul precision: one nonzero
+    per row)."""
     N = g.p.shape[0]
     dtype = g.p.dtype
 
@@ -178,15 +186,23 @@ def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
     inactive_pin = (~g.node_mask).astype(dtype) * 1e6
     anchor = jnp.zeros((N,), dtype).at[0].set(anchor_weight)
 
+    node_ids = jnp.arange(N)
+    Si = (g.e_i[:, None] == node_ids).astype(dtype)        # (E,N)
+    Sj = (g.e_j[:, None] == node_ids).astype(dtype)
+    Sz = (g.z_node[:, None] == node_ids).astype(dtype)     # (Z,N)
+
     def edge_system(p, q):
         """Masked per-edge residual (E,6) and Jacobian (E,6,12)."""
-        def per_edge(i, j, dp, dq, w, m):
+        p_i, q_i = Si @ p, Si @ q
+        p_j, q_j = Sj @ p, Sj @ q
+
+        def per_edge(pi, qi, pj, qj, dp, dq, w, m):
             def local(delta):
-                pi = p[i] + delta[0:3]
-                qi = lie.quat_mul(q[i], lie.quat_exp(delta[3:6]))
-                pj = p[j] + delta[6:9]
-                qj = lie.quat_mul(q[j], lie.quat_exp(delta[9:12]))
-                return _between_residual(pi, qi, pj, qj, dp, dq) * w
+                pi_ = pi + delta[0:3]
+                qi_ = lie.quat_mul(qi, lie.quat_exp(delta[3:6]))
+                pj_ = pj + delta[6:9]
+                qj_ = lie.quat_mul(qj, lie.quat_exp(delta[9:12]))
+                return _between_residual(pi_, qi_, pj_, qj_, dp, dq) * w
 
             zeros = jnp.zeros((12,), dtype)
             r = local(zeros)
@@ -194,11 +210,11 @@ def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
             mm = m.astype(dtype)
             return r * mm, J * mm
 
-        return jax.vmap(per_edge)(g.e_i, g.e_j, g.e_dp, g.e_dq,
+        return jax.vmap(per_edge)(p_i, q_i, p_j, q_j, g.e_dp, g.e_dq,
                                   g.e_w, g.e_mask)
 
     def z_residual(p):
-        return (p[g.z_node, 2] - g.z_val) * zw
+        return ((Sz @ p)[:, 2] - g.z_val) * zw
 
     def cost_of(p, q):
         r_e, _ = edge_system(p, q)
@@ -212,17 +228,18 @@ def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
         Jj = J_e[:, :, 6:12]
         r_z = z_residual(p)
 
-        # rhs b = -Jᵀr, segment-summed per node (N,6)
-        b = (jnp.zeros((N, 6), dtype)
-             .at[g.e_i].add(-jnp.einsum("er,erk->ek", r_e, Ji))
-             .at[g.e_j].add(-jnp.einsum("er,erk->ek", r_e, Jj)))
-        b = b.at[g.z_node, 2].add(-(zw * r_z))
+        # rhs b = -Jᵀr, segment-summed per node (N,6) via Sᵀ contractions
+        b = -(jnp.einsum("en,er,erk->nk", Si, r_e, Ji)
+              + jnp.einsum("en,er,erk->nk", Sj, r_e, Jj))
+        b = b - jnp.einsum("zn,z->n", Sz, zw * r_z)[:, None] \
+            * jnp.zeros((6,), dtype).at[2].set(1.0)
 
         # block-diagonal of H (N,6,6) for damping + preconditioner
-        Dblk = (jnp.zeros((N, 6, 6), dtype)
-                .at[g.e_i].add(jnp.einsum("eri,erj->eij", Ji, Ji))
-                .at[g.e_j].add(jnp.einsum("eri,erj->eij", Jj, Jj)))
-        Dblk = Dblk.at[g.z_node, 2, 2].add(zw * zw)
+        Dblk = (jnp.einsum("en,eri,erj->nij", Si, Ji, Ji)
+                + jnp.einsum("en,eri,erj->nij", Sj, Jj, Jj))
+        zz = jnp.einsum("zn,z->n", Sz, zw * zw)
+        Dblk = Dblk + (zz[:, None, None]
+                       * (jnp.zeros((6, 6), dtype).at[2, 2].set(1.0)))
         diag_extra = (anchor + inactive_pin)[:, None]          # (N,1)
         dh = jnp.einsum("nkk->nk", Dblk)                       # diag of H
         damp = mu * dh + jitter + diag_extra                   # (N,6)
@@ -231,12 +248,12 @@ def solve_cg(g: PoseGraph, iters: int = 10, cg_iters: int = 64,
             Mblk + 1e-8 * jnp.eye(6, dtype=dtype)[None])       # (N,6,6)
 
         def matvec(x):                                         # x (N,6)
-            t = (jnp.einsum("erk,ek->er", Ji, x[g.e_i])
-                 + jnp.einsum("erk,ek->er", Jj, x[g.e_j]))     # (E,6)
-            y = (jnp.zeros((N, 6), dtype)
-                 .at[g.e_i].add(jnp.einsum("er,erk->ek", t, Ji))
-                 .at[g.e_j].add(jnp.einsum("er,erk->ek", t, Jj)))
-            y = y.at[g.z_node, 2].add((zw * zw) * x[g.z_node, 2])
+            t = (jnp.einsum("erk,ek->er", Ji, Si @ x)
+                 + jnp.einsum("erk,ek->er", Jj, Sj @ x))       # (E,6)
+            y = (jnp.einsum("en,er,erk->nk", Si, t, Ji)
+                 + jnp.einsum("en,er,erk->nk", Sj, t, Jj))
+            yz = jnp.einsum("zn,z->n", Sz, (zw * zw) * (Sz @ x)[:, 2])
+            y = y + yz[:, None] * jnp.zeros((6,), dtype).at[2].set(1.0)
             return y + damp * x
 
         # preconditioned CG, fixed iteration count (masked-shape friendly)

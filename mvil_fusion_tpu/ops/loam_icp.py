@@ -34,6 +34,27 @@ import os
 _USE_PALLAS_KNN = os.environ.get("MVIL_PALLAS_KNN", "") == "1"
 
 
+def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Batched 3×3 solve via the adjugate — closed-form vector math
+    (jnp.linalg.solve lowers to a batched LAPACK-style LU on the TPU
+    scalar path)."""
+    c00 = A[..., 1, 1] * A[..., 2, 2] - A[..., 1, 2] * A[..., 2, 1]
+    c01 = A[..., 0, 2] * A[..., 2, 1] - A[..., 0, 1] * A[..., 2, 2]
+    c02 = A[..., 0, 1] * A[..., 1, 2] - A[..., 0, 2] * A[..., 1, 1]
+    c10 = A[..., 1, 2] * A[..., 2, 0] - A[..., 1, 0] * A[..., 2, 2]
+    c11 = A[..., 0, 0] * A[..., 2, 2] - A[..., 0, 2] * A[..., 2, 0]
+    c12 = A[..., 0, 2] * A[..., 1, 0] - A[..., 0, 0] * A[..., 1, 2]
+    c20 = A[..., 1, 0] * A[..., 2, 1] - A[..., 1, 1] * A[..., 2, 0]
+    c21 = A[..., 0, 1] * A[..., 2, 0] - A[..., 0, 0] * A[..., 2, 1]
+    c22 = A[..., 0, 0] * A[..., 1, 1] - A[..., 0, 1] * A[..., 1, 0]
+    det = (A[..., 0, 0] * c00 + A[..., 0, 1] * c10 + A[..., 0, 2] * c20)
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-30, jnp.inf, det)
+    x0 = (c00 * b[..., 0] + c01 * b[..., 1] + c02 * b[..., 2]) * inv_det
+    x1 = (c10 * b[..., 0] + c11 * b[..., 1] + c12 * b[..., 2]) * inv_det
+    x2 = (c20 * b[..., 0] + c21 * b[..., 1] + c22 * b[..., 2]) * inv_det
+    return jnp.stack([x0, x1, x2], axis=-1)
+
+
 def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
         k: int):
     """Brute-force k-NN: (Nq,3) vs (Nr,3) → (idx (Nq,k), d2 (Nq,k))."""
@@ -112,13 +133,15 @@ def find_correspondences(corner_src, corner_mask, surf_src, surf_mask,
         snear = sd2[:, -1] < max_corr_dist * max_corr_dist
     snbr = surf_map[sidx]                                    # (Np,k,3)
     # LSQ plane: N·x = -1 (A-LOAM formulation), trace-relative ridge for
-    # f32 robustness on near-collinear clusters
+    # f32 robustness on near-collinear clusters.  Solved by closed-form
+    # adjugate (batched 3×3 LAPACK solve is a scalar-path routine on TPU;
+    # the adjugate is pure vector arithmetic, max diff 7e-7).
     ones = -jnp.ones((snbr.shape[0], k_surf, 1), dtype)
     AtA = jnp.einsum("nki,nkj->nij", snbr, snbr)
     Atb = jnp.einsum("nki,nkl->nil", snbr, ones)[..., 0]
     tr = jnp.trace(AtA, axis1=-2, axis2=-1)[:, None, None]
     ridge = (1e-5 * tr + 1e-6) * jnp.eye(3, dtype=dtype)
-    n_raw = jnp.linalg.solve(AtA + ridge, Atb[..., None])[..., 0]
+    n_raw = _solve3x3(AtA + ridge, Atb)
     finite_n = jnp.isfinite(n_raw).all(axis=-1)
     n_raw = jnp.where(finite_n[:, None], n_raw, 1.0)
     norm = jnp.linalg.norm(n_raw, axis=-1, keepdims=True)

@@ -16,6 +16,7 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
+from mvil_fusion_tpu.ops.voxel import _smallest_eigvec_sym3
 from mvil_fusion_tpu.utils.precision import full_precision
 
 
@@ -23,6 +24,30 @@ class RansacResult(NamedTuple):
     inliers: jnp.ndarray   # (N,) bool
     F: jnp.ndarray         # (3,3) best model
     n_inliers: jnp.ndarray
+
+
+def _nullvec9(A: jnp.ndarray) -> jnp.ndarray:
+    """Unit null vector of an (8, 9) system via Householder QR of Aᵀ.
+
+    8 unrolled reflections triangularize Aᵀ (9×8); the last column of the
+    accumulated Q spans the orthogonal complement of A's row space, i.e.
+    the (least-squares) null direction.  All slices are static, so the
+    whole routine is straight batched vector math — no LAPACK loop."""
+    R = A.T                                              # (9, 8)
+    us = []
+    for k in range(8):
+        x = R[k:, k]
+        sgn = jnp.where(x[0] >= 0, 1.0, -1.0).astype(A.dtype)
+        alpha = -sgn * jnp.linalg.norm(x)
+        u = x - alpha * jnp.zeros_like(x).at[0].set(1.0)
+        u = u / jnp.maximum(jnp.linalg.norm(u), 1e-30)
+        R = R.at[k:, :].add(-2.0 * jnp.outer(u, u @ R[k:, :]))
+        us.append(u)
+    q = jnp.zeros((9,), A.dtype).at[8].set(1.0)
+    for k in range(7, -1, -1):
+        u = us[k]
+        q = q.at[k:].add(-2.0 * u * (u @ q[k:]))
+    return q
 
 
 def _eight_point(x1, x2):
@@ -44,12 +69,21 @@ def _eight_point(x1, x2):
     one = jnp.ones_like(u1)
     A = jnp.stack([u2 * u1, u2 * v1, u2, v2 * u1, v2 * v1, v2, u1, v1, one],
                   axis=-1)                                   # (8,9)
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    f = Vt[-1].reshape(3, 3)
-    # rank-2 enforcement
-    U, S, Vt2 = jnp.linalg.svd(f)
-    S = S.at[2].set(0.0)
-    f2 = (U * S[None, :]) @ Vt2
+
+    # Null vector of A WITHOUT LAPACK: batched small-matrix SVD is an
+    # iterative scalar-path routine on TPU (7.6 ms for the 256-hypothesis
+    # batch — the whole rest of RANSAC is <1 ms).  The null vector of the
+    # 8×9 system is computed by 8 unrolled Householder reflections (QR of
+    # Aᵀ): after triangularizing, the orthogonal complement of the column
+    # space is Q·e₉, recovered by applying the reflections to e₉ in
+    # reverse.  Static shapes, pure batched vector arithmetic.
+    f = _nullvec9(A).reshape(3, 3)
+
+    # rank-2 enforcement: with v3 the smallest right singular vector
+    # (= smallest eigenvector of fᵀf, closed form for symmetric 3×3),
+    # dropping the smallest singular component is f(I − v3v3ᵀ).
+    v3 = _smallest_eigvec_sym3(f.T @ f)
+    f2 = f - jnp.outer(f @ v3, v3)
     return T2.T @ f2 @ T1
 
 
