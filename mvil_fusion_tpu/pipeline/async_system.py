@@ -209,4 +209,8 @@ def run_threaded(system, messages: Iterable,
         if st.errors:
             raise RuntimeError(
                 f"stage {st.name} raised:\n" + "\n".join(st.errors[:3]))
+    # shed counts: DROP_OLDEST channels report how many stale messages
+    # they discarded under load (the reference's deliberate stale-cloud
+    # drops, localMapping.cpp:328-332)
+    counts["shed"] = {st.name: st.inbox.dropped for st in pipe.stages}
     return counts

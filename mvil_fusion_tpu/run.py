@@ -59,6 +59,12 @@ def build_parser() -> argparse.ArgumentParser:
                     "(adaptive LM iterations; reference ceres 0.05 s cap)")
     ap.add_argument("--max-sensor-time", type=float, default=None,
                     help="stop after this many seconds of sensor data")
+    ap.add_argument("--pace", type=float, default=None,
+                    help="threaded only: feed the bag at this many "
+                    "sensor-seconds per wall-second (real time = 1.0); "
+                    "when the machine cannot keep up, the mapping stage "
+                    "sheds stale sweeps exactly like the reference's "
+                    "localMapping queue drain (localMapping.cpp:328-332)")
     ap.add_argument("--platform", default=None,
                     help="force a JAX backend (e.g. cpu); needed because "
                     "this environment's TPU plugin overrides JAX_PLATFORMS")
@@ -76,6 +82,23 @@ def write_pcd(path: str, pts: np.ndarray):
                 f"VIEWPOINT 0 0 0 1 0 0 0\nPOINTS {n}\nDATA ascii\n")
         for p in pts:
             f.write(f"{p[0]:.4f} {p[1]:.4f} {p[2]:.4f}\n")
+
+
+def _paced(messages, pace: float):
+    """Yield bag messages at `pace` sensor-seconds per wall-second —
+    the real-time feeder of the reference's live ROS graph, sped up or
+    slowed by a fixed factor."""
+    t_first = None
+    wall_first = None
+    for kind, t, payload in messages:
+        if t_first is None:
+            t_first, wall_first = t, time.perf_counter()
+        else:
+            due = wall_first + (t - t_first) / pace
+            lag = due - time.perf_counter()
+            if lag > 0:
+                time.sleep(lag)
+        yield kind, t, payload
 
 
 def run(args) -> dict:
@@ -116,11 +139,18 @@ def run(args) -> dict:
 
     if args.threaded:
         from mvil_fusion_tpu.pipeline.async_system import run_threaded
-        stats = run_threaded(system, rb.play(
-            args.bag, args.imu_topic, args.image_topic, args.lidar_topic),
-            max_sensor_time=args.max_sensor_time,
-            shed_mapping=not getattr(args, "lossless", False))
+        messages = rb.play(args.bag, args.imu_topic, args.image_topic,
+                           args.lidar_topic)
+        pace = getattr(args, "pace", None)
+        if pace:
+            messages = _paced(messages, pace)
+        stats = run_threaded(system, messages,
+                             max_sensor_time=args.max_sensor_time,
+                             shed_mapping=not getattr(args, "lossless",
+                                                      False))
+        shed = stats.pop("shed", {})
         n_msgs.update(stats)
+        n_msgs["shed"] = shed
     else:
         for kind, t, payload in rb.play(args.bag, args.imu_topic,
                                         args.image_topic, args.lidar_topic):
