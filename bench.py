@@ -203,6 +203,15 @@ def run_pipeline_bench(warm_s: float, meas_s: float,
                 _log("iter variants precompiled")
             except Exception as e:  # noqa: BLE001
                 _log(f"iter-variant precompile skipped: {e!r}")
+            # ...and the rare-event mapping programs (loop detection /
+            # verification, pose-graph solve): the first loop closure
+            # otherwise pays a mid-run tunnel compile (14 s at r5)
+            try:
+                if system.global_mapper is not None:
+                    system.global_mapper.precompile_event_paths()
+                    _log("mapping event paths precompiled")
+            except Exception as e:  # noqa: BLE001
+                _log(f"mapping event-path precompile skipped: {e!r}")
             return {"value": 0.0, "stage_busy": {}}
         # small settle: with the compile cache pre-populated by the
         # precompile subprocess there are no multi-minute background

@@ -68,8 +68,10 @@ def _register_depth(feat_norm, feat_valid, bufs, masks, slot_ok,
         rng_, mode="drop")
     keep = in_front & (rng_ <= best[jnp.minimum(cell, 360 * 360 - 1)] + 1e-3)
 
-    # 3-NN by max inner product on the sphere
-    sim = f_dir @ c_dir.T                                   # (F,S*N)
+    # 3-NN by max inner product on the sphere (HIGHEST: bf16 cosine
+    # error ~4e-3 is the same order as the 1.5 deg gate)
+    sim = jnp.matmul(f_dir, c_dir.T,
+                     precision=jax.lax.Precision.HIGHEST)   # (F,S*N)
     sim = jnp.where(keep[None, :], sim, -2.0)
     top_sim, top_idx = jax.lax.top_k(sim, 3)
     r3 = rng_[top_idx]                                      # (F,3)

@@ -454,6 +454,35 @@ class GlobalMapper:
 
     # --------------------------------------------------------------- output
 
+    def precompile_event_paths(self):
+        """Force-compile the RARE-event device programs (loop-closure
+        detection/verification, pose-graph solve) so a real-time run
+        never hits a tunnel cache-miss compile mid-stream — the first
+        loop closure otherwise stalls the mapping stage for the full
+        compile latency (observed 14 s at bench r5).  Call from a
+        precompile pass after at least one submap exists."""
+        if self.n_nodes == 0:
+            return
+        g = self.cfg.global_mapping
+        jax.block_until_ready(_solve_graph_jit(
+            self.graph, iters=g.pg_iters, cg_iters=g.pg_cg_iters).p)
+        db_mask = np.zeros(self.n_max, bool)
+        db_mask[: self.n_nodes] = True
+        np.asarray(_detect_pack_jit(
+            self.sc_desc[0], self.sc_keys[0], self.sc_desc, self.sc_keys,
+            jnp.asarray(db_mask), n_candidates=g.sc_num_candidates))
+        # _verify_loop's fixed 3-block reference build + registration
+        pts = np.zeros((3 * SCAN_CAP, 3), np.float32)
+        pts[:SCAN_CAP] = self.scans[0]
+        mask = np.zeros(3 * SCAN_CAP, bool)
+        mask[:SCAN_CAP] = self.scan_masks[0]
+        ref = _build_map_jit(jnp.asarray(pts), jnp.asarray(mask),
+                             leaf=self.cfg.lidar.vgicp_resolution,
+                             table_size=1 << 17)
+        p0, q0 = self._node_pose(0)
+        self._register(jnp.asarray(self.scans[0]),
+                       jnp.asarray(self.scan_masks[0]), ref, p0, q0)
+
     def ensure_descriptor(self, i: int):
         """Recompute a missing descriptor (checkpoint-restore path)."""
         g = self.cfg.global_mapping

@@ -29,9 +29,21 @@ import os
 # Fused Pallas k-NN (ops/pallas_knn.py): streams the reference through
 # VMEM and never materializes the (Nq,Nr) distance matrix — at reference
 # scale the XLA path below writes+reads a 512 MB intermediate through
-# HBM.  Opt-in until profiled on hardware (validated in interpreter mode
-# by tests/test_pallas_knn.py).
-_USE_PALLAS_KNN = os.environ.get("MVIL_PALLAS_KNN", "") == "1"
+# HBM.  Default ON for TPU since the round-5 on-chip profile: it is both
+# faster (3.3 vs 3.9 ms at 2048x32768 k=5; 4.7 vs 6.3 ms at 4096) and
+# EXACT (1.000 agreement vs float64 truth) where the XLA path's default
+# single-bf16-pass matmul scrambles ~40% of the ranking at map scale
+# (PERF.md §5).  MVIL_PALLAS_KNN=0 forces the XLA path, =1 forces Pallas
+# everywhere (tests use interpreter mode on CPU).
+_PALLAS_KNN_ENV = os.environ.get("MVIL_PALLAS_KNN", "")
+
+
+def _use_pallas_knn() -> bool:
+    if _PALLAS_KNN_ENV == "0":
+        return False
+    if _PALLAS_KNN_ENV == "1":
+        return True
+    return jax.default_backend() == "tpu"
 
 
 def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -58,12 +70,15 @@ def _solve3x3(A: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
 def knn(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
         k: int):
     """Brute-force k-NN: (Nq,3) vs (Nr,3) → (idx (Nq,k), d2 (Nq,k))."""
-    if _USE_PALLAS_KNN:
+    if _use_pallas_knn():
         from mvil_fusion_tpu.ops.pallas_knn import knn_topk
         return knn_topk(query, ref, ref_mask, k)
     q2 = jnp.sum(query * query, axis=-1, keepdims=True)       # (Nq,1)
     r2 = jnp.sum(ref * ref, axis=-1)                          # (Nr,)
-    d2 = q2 + r2[None, :] - 2.0 * (query @ ref.T)
+    # HIGHEST: a single-bf16-pass d2 matmul carries ~4–8 abs error at
+    # map scale, scrambling the neighbor ranking (measured on chip)
+    d2 = q2 + r2[None, :] - 2.0 * jnp.matmul(
+        query, ref.T, precision=jax.lax.Precision.HIGHEST)
     d2 = jnp.where(ref_mask[None, :], d2, jnp.inf)
     neg, idx = jax.lax.top_k(-d2, k)
     return idx, -neg

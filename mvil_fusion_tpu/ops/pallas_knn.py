@@ -16,8 +16,16 @@ yields the true squared distance.  q2 is constant per row so the
 RANKING inside the kernel is unaffected.
 
 The kernel is validated in interpreter mode on CPU
-(tests/test_pallas_knn.py); `loam_icp.knn` switches to it on TPU when
-MVIL_PALLAS_KNN=1 (kept opt-in until profiled on hardware).
+(tests/test_pallas_knn.py) and is the DEFAULT on TPU since the round-5
+on-chip profile: faster than the XLA path (3.3 vs 3.9 ms at
+2048x32768 k=5, 4.7 vs 6.3 ms at 4096 queries) and exact (1.000
+agreement with float64 ground truth, d2 err ~2e-4) where the XLA
+path's default bf16 matmul scrambled ~40% of the ranking.  Two Mosaic
+pitfalls shaped the kernel (each crashes the backend compiler):
+dynamic minor-dim updates (`.at[:, p].set` -> scatter) and int32
+lane-dim concatenates — winner indices are therefore recovered
+arithmetically from the winning column id instead of pooling an index
+matrix alongside the scores.
 """
 
 from __future__ import annotations
@@ -34,49 +42,68 @@ TILE_R = 2048         # reference chunk streamed per inner iteration
 _BIG = 1e30           # masked / padded score
 
 
-def _knn_kernel(q4_ref, r4t_ref, scores_ref, idx_ref, *, k: int,
-                n_chunks: int):
-    """One TILE_Q query block vs the whole reference (chunked).
+K_PAD = 128           # top-k carried in one full lane tile
+F_PAD = 128           # homogeneous feature dim padded to one lane tile
 
-    q4_ref: (TILE_Q, 4) VMEM; r4t_ref: (4, R_pad) VMEM;
-    scores_ref/idx_ref: (TILE_Q, k) outputs."""
+
+def _knn_kernel(q8_ref, r8t_ref, scores_ref, idx_ref, *, k: int):
+    """Grid step (i, j): query block i vs reference chunk j.
+
+    The chunk axis j is the MINOR grid dim, which TPU iterates
+    sequentially while revisiting the same output block — the running
+    top-k lives in scores_ref/idx_ref across chunk steps (canonical
+    Pallas TPU reduction pattern).  q8_ref: (TILE_Q, F_PAD); r8t_ref:
+    (F_PAD, TILE_R); outputs (TILE_Q, K_PAD) lane-tile-aligned with the
+    real top-k in columns 0..k-1."""
     dtype = jnp.float32
+    j = pl.program_id(1)
 
-    def merge_chunk(j, carry):
-        best_s, best_i = carry                        # (TILE_Q, k) each
-        r4t = r4t_ref[:, pl.ds(j * TILE_R, TILE_R)]   # (4, TILE_R)
-        tile = jnp.dot(q4_ref[:], r4t,
-                       preferred_element_type=dtype)  # (TILE_Q, TILE_R)
-        # combined candidate pool: current best ++ this chunk
-        comb_s = jnp.concatenate([best_s, tile], axis=1)
-        col_off = (j * TILE_R - k).astype(jnp.int32)
-        cand_i = (jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, k + TILE_R),
-                                           1) + col_off)
-        comb_i = jnp.concatenate([best_i, cand_i[:, k:]], axis=1)
-        cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, k + TILE_R), 1)
+    @pl.when(j == 0)
+    def _init():
+        scores_ref[:] = jnp.full((TILE_Q, K_PAD), _BIG, dtype)
+        idx_ref[:] = jnp.zeros((TILE_Q, K_PAD), jnp.int32)
 
-        def extract(p, c2):
-            s, i_, new_s, new_i = c2
-            m = jnp.min(s, axis=1)                            # (TILE_Q,)
-            arg = jnp.argmin(s, axis=1).astype(jnp.int32)     # (TILE_Q,)
-            sel = cols == arg[:, None]
-            picked_i = jnp.sum(jnp.where(sel, i_, 0), axis=1)
-            new_s = new_s.at[:, p].set(m)
-            new_i = new_i.at[:, p].set(picked_i)
-            s = jnp.where(sel, _BIG, s)                       # retire winner
-            return s, i_, new_s, new_i
+    tile = jnp.dot(q8_ref[:], r8t_ref[:],
+                   preferred_element_type=dtype,
+                   precision=jax.lax.Precision.HIGHEST)  # (TILE_Q, TILE_R)
+    # HIGHEST: the MXU's default single bf16 pass carries ~4.0 abs error
+    # on d2 at map scale (coords ~1e2), which scrambles ~30% of the
+    # nearest-neighbor ranking — measured on chip, see PERF.md.
+    best_s = scores_ref[:]
+    best_i = idx_ref[:]
+    # combined candidate pool: current best ++ this chunk.  Only the
+    # SCORES are pooled — an int32 lane-dim concatenate for a parallel
+    # index pool crashes the Mosaic backend (array.h limits check), so
+    # winner indices are recovered arithmetically from the column id:
+    # col < K_PAD -> best_i[col]; else global id col - K_PAD + j*TILE_R.
+    comb_s = jnp.concatenate([best_s, tile], axis=1)
+    cols = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, K_PAD + TILE_R), 1)
+    colk = jax.lax.broadcasted_iota(jnp.int32, (TILE_Q, K_PAD), 1)
+    col_off = j * TILE_R - K_PAD
 
-        _, _, best_s, best_i = jax.lax.fori_loop(
-            0, k, extract,
-            (comb_s, comb_i,
-             jnp.full((TILE_Q, k), _BIG, dtype),
-             jnp.zeros((TILE_Q, k), jnp.int32)))
-        return best_s, best_i
+    def extract(p, c2):
+        s, new_s, new_i = c2
+        m = jnp.min(s, axis=1, keepdims=True)             # (TILE_Q, 1)
+        # first column attaining the min (argmin without argmin)
+        sel1 = jnp.where(s <= m, cols, K_PAD + TILE_R)
+        arg = jnp.min(sel1, axis=1, keepdims=True)        # (TILE_Q, 1)
+        sel = cols == arg
+        from_best = jnp.sum(jnp.where(colk == arg, best_i, 0), axis=1,
+                            keepdims=True)                # (TILE_Q, 1)
+        picked_i = jnp.where(arg < K_PAD, from_best, arg + col_off)
+        # write column p via an iota mask: a dynamic minor-dim
+        # .at[:, p].set lowers to scatter, which Mosaic can't emit
+        hit = colk == p
+        new_s = jnp.where(hit, m, new_s)
+        new_i = jnp.where(hit, picked_i, new_i)
+        s = jnp.where(sel, _BIG, s)                       # retire winner
+        return s, new_s, new_i
 
-    best_s = jnp.full((TILE_Q, k), _BIG, dtype)
-    best_i = jnp.zeros((TILE_Q, k), jnp.int32)
-    best_s, best_i = jax.lax.fori_loop(0, n_chunks, merge_chunk,
-                                       (best_s, best_i))
+    _, best_s, best_i = jax.lax.fori_loop(
+        0, k, extract,
+        (comb_s,
+         jnp.full((TILE_Q, K_PAD), _BIG, dtype),
+         jnp.zeros((TILE_Q, K_PAD), jnp.int32)))
     scores_ref[:] = best_s
     idx_ref[:] = best_i
 
@@ -100,43 +127,44 @@ def knn_topk(query: jnp.ndarray, ref: jnp.ndarray, ref_mask: jnp.ndarray,
     nr_pad = _round_up(max(nr, 1), TILE_R)
 
     q = query.astype(dtype)
-    q4 = jnp.concatenate([q, jnp.ones((nq, 1), dtype)], axis=1)
-    q4 = jnp.pad(q4, ((0, nq_pad - nq), (0, 0)))
+    q8 = jnp.concatenate([q, jnp.ones((nq, 1), dtype),
+                          jnp.zeros((nq, F_PAD - 4), dtype)], axis=1)
+    q8 = jnp.pad(q8, ((0, nq_pad - nq), (0, 0)))
     r = ref.astype(dtype)
     r2 = jnp.sum(r * r, axis=1)
     r2 = jnp.where(ref_mask, r2, _BIG)          # mask -> colossal score
-    r4 = jnp.concatenate([-2.0 * r, r2[:, None]], axis=1)   # (Nr,4)
-    r4t = jnp.pad(r4.T, ((0, 0), (0, nr_pad - nr)),
+    r8 = jnp.concatenate([-2.0 * r, r2[:, None],
+                          jnp.zeros((nr, F_PAD - 4), dtype)], axis=1)
+    r8t = jnp.pad(r8.T, ((0, 0), (0, nr_pad - nr)),
                   constant_values=0.0)
     # padded columns: force score _BIG via the r2 slot
     if nr_pad > nr:
-        r4t = r4t.at[3, nr:].set(_BIG)
+        r8t = r8t.at[3, nr:].set(_BIG)
 
-    kernel = functools.partial(_knn_kernel, k=k,
-                               n_chunks=nr_pad // TILE_R)
+    kernel = functools.partial(_knn_kernel, k=k)
     scores, idx = pl.pallas_call(
         kernel,
-        grid=(nq_pad // TILE_Q,),
+        grid=(nq_pad // TILE_Q, nr_pad // TILE_R),
         in_specs=[
-            pl.BlockSpec((TILE_Q, 4), lambda i: (i, 0),
+            pl.BlockSpec((TILE_Q, F_PAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((4, nr_pad), lambda i: (0, 0),
+            pl.BlockSpec((F_PAD, TILE_R), lambda i, j: (0, j),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((TILE_Q, k), lambda i: (i, 0),
+            pl.BlockSpec((TILE_Q, K_PAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((TILE_Q, k), lambda i: (i, 0),
+            pl.BlockSpec((TILE_Q, K_PAD), lambda i, j: (i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((nq_pad, k), dtype),
-            jax.ShapeDtypeStruct((nq_pad, k), jnp.int32),
+            jax.ShapeDtypeStruct((nq_pad, K_PAD), dtype),
+            jax.ShapeDtypeStruct((nq_pad, K_PAD), jnp.int32),
         ],
         interpret=interpret,
-    )(q4, r4t)
+    )(q8, r8t)
 
     q2 = jnp.sum(q * q, axis=1, keepdims=True)              # true d2
-    d2 = scores[:nq] + q2
-    idx = jnp.clip(idx[:nq], 0, max(nr - 1, 0))
+    d2 = scores[:nq, :k] + q2
+    idx = jnp.clip(idx[:nq, :k], 0, max(nr - 1, 0))
     return idx, d2
