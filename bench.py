@@ -239,6 +239,10 @@ def run_pipeline_bench(warm_s: float, meas_s: float,
                  f"(n={st.processed})" for st in pipe.stages))
     finally:
         pipe.stop(timeout=120.0)
+        for _pool in (getattr(pipe, "upload_pool", None),
+                      getattr(pipe, "lidar_pool", None)):
+            if _pool is not None:
+                _pool.shutdown(wait=False)
 
     for st in pipe.stages:
         if st.errors:

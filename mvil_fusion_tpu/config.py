@@ -85,6 +85,13 @@ class TrackerConfig:
     # multiple of 128 for TPU lane alignment)
     max_features_pad: int = 256
     border: int = 1              # border margin for culling (px)
+    # threaded-pipeline image-upload concurrency: H2D of frame k+1..k+n
+    # rides parallel client connections while the tracker processes frame
+    # k.  Measured on the tunnel: transfers from ONE thread serialize
+    # (~14-30 ms/img, content-dependent) but two threads overlap them
+    # 1.5x, and compute overlaps transfers — so a small pool hides most
+    # of the ingest latency.  0/1 = upload inline (deterministic path).
+    upload_workers: int = 2
 
 
 @dataclass(frozen=True)

@@ -36,7 +36,8 @@ from mvil_fusion_tpu.utils.precision import full_precision
 def solve_cg_sharded(g: PoseGraph, mesh: Mesh, axis: str = "graph",
                      iters: int = 10, cg_iters: int = 64,
                      anchor_weight: float = 1e4, mu0: float = 1e-6,
-                     jitter: float = 1e-6) -> PoseGraph:
+                     jitter: float = 1e-6, cg_tol: float = 1e-12,
+                     xtol: float = 1e-8) -> PoseGraph:
     """LM + block-Jacobi CG with the edge/z tables sharded over `axis`.
 
     Capacities E and Z must divide the mesh axis size (pad with masked
@@ -87,8 +88,7 @@ def solve_cg_sharded(g: PoseGraph, mesh: Mesh, axis: str = "graph",
             return 0.5 * jax.lax.psum(
                 jnp.sum(r_e * r_e) + jnp.sum(r_z * r_z), axis)
 
-        def step(carry, _):
-            p, q, mu = carry
+        def step(p, q, mu):
             r_e, J_e = edge_system(p, q)
             Ji = J_e[:, :, 0:6]
             Jj = J_e[:, :, 6:12]
@@ -129,9 +129,19 @@ def solve_cg_sharded(g: PoseGraph, mesh: Mesh, axis: str = "graph",
             x0 = jnp.zeros((N, 6), dtype)
             r0 = b - matvec(x0)
             z0 = pc(r0)
+            rz0 = jnp.sum(r0 * z0)
 
-            def cg_body(c, _):
-                x, r, z_, pdir, rz = c
+            # early-terminated PCG, same guards as the single-device
+            # solver (pose_graph.solve_cg).  rz is built exclusively
+            # from psum'd quantities, so the stop decision is replicated
+            # bit-identically on every shard — the while_loop stays in
+            # lockstep across the mesh with no extra collective.
+            def cg_cond(c):
+                _, _, _, _, rz, k = c
+                return (k < cg_iters) & (rz > cg_tol * rz0)
+
+            def cg_body(c):
+                x, r, z_, pdir, rz, k = c
                 Ap = matvec(pdir)
                 alpha = rz / jnp.maximum(jnp.sum(pdir * Ap), 1e-30)
                 x = x + alpha * pdir
@@ -140,11 +150,10 @@ def solve_cg_sharded(g: PoseGraph, mesh: Mesh, axis: str = "graph",
                 rz_new = jnp.sum(r * z_)
                 beta = rz_new / jnp.maximum(rz, 1e-30)
                 pdir = z_ + beta * pdir
-                return (x, r, z_, pdir, rz_new), None
+                return (x, r, z_, pdir, rz_new, k + 1)
 
-            (dx, *_), _ = jax.lax.scan(
-                cg_body, (x0, r0, z0, z0, jnp.sum(r0 * z0)), None,
-                length=cg_iters)
+            dx = jax.lax.while_loop(
+                cg_cond, cg_body, (x0, r0, z0, z0, rz0, 0))[0]
 
             c0 = 0.5 * jax.lax.psum(
                 jnp.sum(r_e * r_e) + jnp.sum(r_z * r_z), axis)
@@ -156,10 +165,21 @@ def solve_cg_sharded(g: PoseGraph, mesh: Mesh, axis: str = "graph",
             q_new = jnp.where(ok, q_try, q)
             mu_new = jnp.where(ok, jnp.maximum(mu * 0.3, 1e-8),
                                jnp.minimum(mu * 8.0, 1e4))
-            return (p_new, q_new, mu_new), c0
+            conv = ok & (jnp.max(jnp.abs(dx)) < xtol)
+            return p_new, q_new, mu_new, conv
 
-        (p, q, _), _ = jax.lax.scan(
-            step, (p0, q0, jnp.asarray(mu0, dtype)), None, length=iters)
+        def lm_cond(c):
+            _, _, _, k, conv = c
+            return (k < iters) & ~conv
+
+        def lm_body(c):
+            p, q, mu, k, _ = c
+            p, q, mu, conv = step(p, q, mu)
+            return p, q, mu, k + 1, conv
+
+        p, q, _, _, _ = jax.lax.while_loop(
+            lm_cond, lm_body,
+            (p0, q0, jnp.asarray(mu0, dtype), 0, jnp.asarray(False)))
         return p, jax.vmap(lie.quat_normalize)(q)
 
     p, q = run(g.p, g.q, g.node_mask, g.e_i, g.e_j, g.e_dp, g.e_dq,

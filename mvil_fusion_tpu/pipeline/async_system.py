@@ -22,8 +22,11 @@ mode for testing the identical stage functions.
 
 from __future__ import annotations
 
+from collections import deque
+from concurrent.futures import ThreadPoolExecutor
 from typing import Iterable, Optional
 
+import jax.numpy as jnp
 import numpy as np
 
 from mvil_fusion_tpu.pipeline.channels import Channel, Closed, Policy
@@ -58,6 +61,22 @@ def build_pipeline(system, deterministic: bool = False,
 
     # one-slot deferred publish state of the frontend stage (single owner)
     pending_pub: list = []
+    # parallel image ingest: H2D rides a small thread pool so the upload
+    # of frame k+1 overlaps the tracking of frame k (single-thread
+    # transfers serialize on the tunnel at ~14-30 ms/img; two client
+    # threads overlap them and compute overlaps transfers).  The tracker
+    # still consumes frames strictly in arrival order.
+    n_up = max(0, int(getattr(system.cfg.tracker, "upload_workers", 0))) \
+        if not deterministic else 0
+    upload_pool = ThreadPoolExecutor(max_workers=n_up) if n_up > 1 else None
+    pending_imgs: deque = deque()   # (t, Future[device image])
+    MAX_INFLIGHT = 4
+    # LiDAR ingest rides its own single worker: one sweep in flight at a
+    # time keeps the compensator's host state strictly sequential while
+    # its 170 KB H2D overlaps the tracker's work on this stage
+    lidar_pool = (ThreadPoolExecutor(max_workers=1) if upload_pool
+                  is not None else None)
+    pending_sweeps: deque = deque()   # Future[("sweep", t, payload)]
 
     def _harvest_pub():
         t_p, packed_dev, depth_dev = pending_pub.pop()
@@ -70,12 +89,58 @@ def build_pipeline(system, deterministic: bool = False,
                  if depth_dev is not None else None)
         return ("features", t_p, (ids, norm, vel, depth))
 
+    def _track_one(t, img):
+        """Track one (possibly device-resident) image; deferred-publish
+        bookkeeping.  Returns a features message or None."""
+        publish, out = system.tracker.process_device(t, img)
+        res = _harvest_pub() if pending_pub else None
+        if publish:
+            depth_dev = system._feature_depths_device(t, out.norm,
+                                                      out.valid)
+            for a in (out.packed, depth_dev):
+                if a is not None:
+                    try:
+                        a.copy_to_host_async()
+                    except AttributeError:
+                        pass
+            pending_pub.append((t, out.packed, depth_dev))
+        return res
+
+    def _drain_uploads(block: bool):
+        """Feed completed uploads (in order) to the tracker.  With
+        block=False only heads whose transfer finished are consumed,
+        unless the in-flight window is full — identical results either
+        way, the order is strict."""
+        outs = []
+        while pending_imgs:
+            head_done = pending_imgs[0][1].done()
+            if not (block or head_done
+                    or len(pending_imgs) > MAX_INFLIGHT):
+                break
+            ti, fut = pending_imgs.popleft()
+            res = _track_one(ti, fut.result())
+            if res is not None:
+                outs.append(res)
+        return outs
+
+    def _drain_sweep_uploads(block: bool):
+        outs = []
+        while pending_sweeps:
+            if not (block or pending_sweeps[0].done()
+                    or len(pending_sweeps) > 2):
+                break
+            outs.append(pending_sweeps.popleft().result())
+        return outs
+
     def frontend(msg):
         kind, t, payload = msg
         if kind == "imu":
             return msg
         if kind == "flush":
-            outs = [_harvest_pub()] if pending_pub else []
+            outs = _drain_uploads(block=True)
+            outs.extend(_drain_sweep_uploads(block=True))
+            if pending_pub:
+                outs.append(_harvest_pub())
             outs.append(msg)
             return MultiOut(outs)
         if kind == "image":
@@ -93,25 +158,28 @@ def build_pipeline(system, deterministic: bool = False,
                 depth = system._feature_depths(t, norm,
                                                np.ones(len(ids), bool))
                 return ("features", t, (ids, norm, vel, depth))
-            # deferred: enqueue this frame's pack + depth lookup, publish
-            # the PREVIOUS frame (its transfers completed in background)
-            publish, out = system.tracker.process_device(t, img)
-            res = _harvest_pub() if pending_pub else None
-            if publish:
-                depth_dev = system._feature_depths_device(t, out.norm,
-                                                          out.valid)
-                for a in (out.packed, depth_dev):
-                    if a is not None:
-                        try:
-                            a.copy_to_host_async()
-                        except AttributeError:
-                            pass
-                pending_pub.append((t, out.packed, depth_dev))
-            return res
+            if upload_pool is None:
+                res = _track_one(t, img)
+                return res
+            # parallel ingest: enqueue the transfer, consume whatever
+            # finished (order-preserving)
+            pending_imgs.append((t, upload_pool.submit(jnp.asarray, img)))
+            outs = _drain_uploads(block=False)
+            if not outs:
+                return None
+            return MultiOut(outs) if len(outs) > 1 else outs[0]
         if kind == "lidar":
             pts, reflectivity = payload
-            sweep = system.compensator.process(t, pts)
-            return ("sweep", t, (sweep, reflectivity))
+            if lidar_pool is None:
+                sweep = system.compensator.process(t, pts)
+                return ("sweep", t, (sweep, reflectivity))
+            pending_sweeps.append(lidar_pool.submit(
+                lambda t=t, pts=pts, refl=reflectivity:
+                ("sweep", t, (system.compensator.process(t, pts), refl))))
+            outs = _drain_sweep_uploads(block=False)
+            if not outs:
+                return None
+            return MultiOut(outs) if len(outs) > 1 else outs[0]
         return None
 
     def _drain_to_mapping(t):
@@ -176,6 +244,8 @@ def build_pipeline(system, deterministic: bool = False,
     pipe.add_stage("mapping", mapping, capacity=8,
                    policy=Policy.DROP_OLDEST if shed_mapping
                    else Policy.BLOCK)
+    pipe.upload_pool = upload_pool   # for teardown by the driver
+    pipe.lidar_pool = lidar_pool
     return pipe
 
 
@@ -205,6 +275,10 @@ def run_threaded(system, messages: Iterable,
         pipe.feed(("flush", t0 if t0 is not None else 0.0, ()))
     finally:
         pipe.stop(timeout=120.0)
+        for pool in (getattr(pipe, "upload_pool", None),
+                     getattr(pipe, "lidar_pool", None)):
+            if pool is not None:
+                pool.shutdown(wait=False)
     for st in pipe.stages:
         if st.errors:
             raise RuntimeError(
